@@ -1,0 +1,382 @@
+"""Mutual-information lattice recursion — the differentiable core op.
+
+This is the TPU-native replacement for the reference's CUDA kernel pair +
+TF custom op (+ gradient registration):
+
+  * forward wavefront kernel   /root/reference/tf_fast_rnnt/csrc/
+                               mutual_information_cuda.cu:174-422
+  * fused backward kernel      mutual_information_cuda.cu:490-760
+  * op glue                    tf_fast_rnnt/python/csrc/tf_fast_rnnt_op.cc:43-133
+  * autodiff registration      tf_fast_rnnt/python/tf_fast_rnnt/__init__.py:154-162
+
+Recursion (docstring of ``mutual_information_recursion`` below; identical to
+reference __init__.py:115-133):
+
+    p[b, s_begin, t_begin] = 0
+    regular:   p[b,s,t] = logadd(p[b,s-1,t]   + px[b,s-1,t],
+                                 p[b,s,t-1]   + py[b,s,t-1])
+    modified:  p[b,s,t] = logadd(p[b,s-1,t-1] + px[b,s-1,t-1],
+                                 p[b,s,t-1]   + py[b,s,t-1])
+    scores[b] = p[b, s_end, t_end]
+
+TPU-first formulation (see ops/numerics.py for the derivation): for each row
+``s`` the recursion is a first-order linear recurrence along ``t`` in the
+log-semiring, solved with an associative scan — S+1 sequential steps, each
+fully vectorized over (B, T+1) VPU lanes.  The backward (occupancy) recursion
+is the same structure in ordinary algebra, run over rows in reverse.
+
+Differences from the reference (deliberate, documented):
+  * ``boundary`` is OPTIONAL (defaults to [0, 0, S, T]); the reference op
+    requires it (README.md:5-6 lists this as a limitation).
+  * works on CPU/TPU/GPU — anything XLA targets (reference is GPU-only).
+  * ``px_grad`` for the modified/constrained variants has shape [B,S,T]
+    matching ``px`` (the reference always allocates [B,S,T+1],
+    tf_fast_rnnt_op.cc:84 — a latent shape bug; only `regular` is tested).
+  * composable with ``jax.grad``/``jax.vmap``/``jax.jit``/sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .numerics import NEG_INF, log_linear_scan, logaddexp, reverse_linear_scan, safe_exp
+
+__all__ = [
+    "mutual_information_recursion",
+    "cummin",
+    "monotonic_lower_bound",
+]
+
+
+def _normalize_boundary(
+    boundary: Optional[jax.Array], B: int, S: int, T: int
+) -> jax.Array:
+    """Default boundary is [0, 0, S, T] per batch row (reference
+    __init__.py:98-106 documents this; the reference op cannot actually take
+    None — we lift that limitation)."""
+    if boundary is None:
+        row = jnp.array([0, 0, S, T], dtype=jnp.int32)
+        return jnp.broadcast_to(row, (B, 4))
+    return boundary.astype(jnp.int32)
+
+
+def _apply_boundary_mask(
+    px: jax.Array, py: jax.Array, boundary: jax.Array, modified: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Mask px/py to -inf outside each utterance's [s_begin..s_end] x
+    [t_begin..t_end] sub-rectangle.
+
+    This reproduces the reference kernel's behavior of only iterating the DP
+    inside the boundary rectangle (and staging -inf for out-of-range entries,
+    mutual_information_cuda.cu:282-304): transitions that would leave the
+    rectangle get probability zero, and consequently zero occupancy gradient.
+    """
+    B, S, T1 = px.shape
+    T = py.shape[2]
+    sb = boundary[:, 0][:, None, None]
+    tb = boundary[:, 1][:, None, None]
+    se = boundary[:, 2][:, None, None]
+    te = boundary[:, 3][:, None, None]
+
+    s_px = jax.lax.broadcasted_iota(jnp.int32, (1, S, T1), 1)
+    t_px = jax.lax.broadcasted_iota(jnp.int32, (1, S, T1), 2)
+    # px[s, t] moves (s,t) -> (s+1, t) [regular] or (s+1, t+1) [modified].
+    t_hi = te if not modified else te - 1
+    px_ok = (s_px >= sb) & (s_px < se) & (t_px >= tb) & (t_px <= t_hi)
+    px = jnp.where(px_ok, px, NEG_INF)
+
+    s_py = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1, T), 1)
+    t_py = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1, T), 2)
+    # py[s, t] moves (s,t) -> (s, t+1).
+    py_ok = (s_py >= sb) & (s_py <= se) & (t_py >= tb) & (t_py < te)
+    py = jnp.where(py_ok, py, NEG_INF)
+    return px, py
+
+
+def _forward_lattice_xla(
+    px: jax.Array, py: jax.Array, boundary: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Compute the full lattice ``p`` [B, S+1, T+1] and ``scores`` [B].
+
+    Row-scan over s; each row solved by a log-semiring associative scan
+    (replaces the CUDA forward wavefront, mutual_information_cuda.cu:174-422).
+    """
+    B, S, T1 = px.shape
+    T = py.shape[2]
+    modified = T1 == T  # same inference as the kernel (.cu:190-192)
+
+    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
+
+    # Time-major rows for the scan: px_pad[s] holds px[s-1] (row s's incoming
+    # symbol arcs); row 0 is -inf (no arcs into row 0 from below).
+    px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
+    py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
+    pad_row = jnp.full((1, B, T1), NEG_INF, dtype=px.dtype)
+    px_pad = jnp.concatenate([pad_row, px_t], axis=0)  # (S+1, B, T1)
+
+    sb = boundary[:, 0]
+    tb = boundary[:, 1]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (B, T + 1), 1)
+    source_t = t_iota == tb[:, None]  # (B, T+1) one-hot column of t_begin
+
+    s_idx = jnp.arange(S + 1, dtype=jnp.int32)
+
+    def step(prev_p, xs):
+        s, px_row, py_row = xs
+        if modified:
+            # a[t] = p[s-1, t-1] + px[s-1, t-1]
+            a = prev_p[:, :T] + px_row  # (B, T)
+            a = jnp.pad(a, ((0, 0), (1, 0)), constant_values=NEG_INF)
+        else:
+            # a[t] = p[s-1, t] + px[s-1, t]
+            a = prev_p + px_row  # (B, T+1)
+        # Inject the origin cell p[s_begin, t_begin] = 0 (.cu:340-352).
+        src = jnp.where((s == sb)[:, None] & source_t, 0.0, NEG_INF).astype(a.dtype)
+        b = logaddexp(a, src)
+        # coeff[t] = py[s, t-1]; coeff[0] multiplies p[s,-1] = -inf (ignored).
+        coeff = jnp.pad(py_row, ((0, 0), (1, 0)), constant_values=NEG_INF)
+        p_row = log_linear_scan(coeff, b, axis=-1)
+        return p_row, p_row
+
+    init = jnp.full((B, T + 1), NEG_INF, dtype=px.dtype)
+    _, p_rows = jax.lax.scan(step, init, (s_idx, px_pad, py_t))
+    p = jnp.moveaxis(p_rows, 0, 1)  # (B, S+1, T+1)
+
+    se = boundary[:, 2]
+    te = boundary[:, 3]
+    scores = p[jnp.arange(B), se, te]
+    return p, scores
+
+
+def _backward_lattice_xla(
+    px: jax.Array,
+    py: jax.Array,
+    p: jax.Array,
+    boundary: jax.Array,
+    ans_grad: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Occupancy/backward recursion (replaces the CUDA backward wavefront,
+    mutual_information_cuda.cu:490-760).
+
+    With the score gradient seeded at (s_end, t_end):
+
+        term1[s,t]  = safe_exp(p[s,t] + px[s,t] - p[s+1, t + dt])   (dt = 0|1)
+        term2[s,t]  = safe_exp(p[s,t] + py[s,t] - p[s, t+1])
+        g[s,t]      = g[s+1, t+dt] * term1[s,t] + g[s,t+1] * term2[s,t]
+        px_grad[s,t] = g[s+1, t+dt] * term1[s,t]
+        py_grad[s,t] = g[s, t+1]   * term2[s,t]
+
+    Per row, g is a first-order linear recurrence along decreasing t —
+    solved with a reverse associative scan; rows sweep s from S down to 0.
+    """
+    B, S, T1 = px.shape
+    T = py.shape[2]
+    modified = T1 == T
+
+    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
+
+    px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
+    py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
+    pad_row = jnp.full((1, B, T1), NEG_INF, dtype=px.dtype)
+    # px_pad2[s] = px[s] for s < S; -inf for s = S (no arcs out of row S).
+    px_pad2 = jnp.concatenate([px_t, pad_row], axis=0)  # (S+1, B, T1)
+
+    p_t = jnp.moveaxis(p, 1, 0)  # (S+1, B, T+1)
+    zeros_row = jnp.zeros((1, B, T + 1), dtype=p.dtype)
+    p_next_t = jnp.concatenate([p_t[1:], zeros_row], axis=0)  # p[s+1] rows
+
+    se = boundary[:, 2]
+    te = boundary[:, 3]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (B, T + 1), 1)
+    seed_t = t_iota == te[:, None]
+
+    s_idx = jnp.arange(S + 1, dtype=jnp.int32)
+
+    def step(g_next, xs):
+        s, px_row, py_row, p_cur, p_next = xs
+        if modified:
+            term1 = safe_exp(p_cur[:, :T] + px_row - p_next[:, 1:])  # (B, T)
+            h_px = term1 * g_next[:, 1:]  # px_grad row, width T
+            h = jnp.pad(h_px, ((0, 0), (0, 1)))  # (B, T+1)
+        else:
+            term1 = safe_exp(p_cur + px_row - p_next)  # (B, T+1)
+            h_px = term1 * g_next  # px_grad row, width T+1
+            h = h_px
+        seed = jnp.where((s == se)[:, None] & seed_t, ans_grad[:, None], 0.0)
+        b = h + seed.astype(h.dtype)
+        term2 = safe_exp(p_cur[:, :T] + py_row - p_cur[:, 1:])  # (B, T)
+        coeff = jnp.pad(term2, ((0, 0), (0, 1)))  # (B, T+1); coeff[T] = 0
+        g = reverse_linear_scan(coeff, b, axis=-1)
+        py_grad_row = term2 * g[:, 1:]
+        return g, (h_px, py_grad_row)
+
+    init = jnp.zeros((B, T + 1), dtype=p.dtype)
+    # Rows sweep s = S down to 0 (reverse scan); ys stay aligned with xs.
+    _, (px_rows, py_rows) = jax.lax.scan(
+        step, init, (s_idx, px_pad2, py_t, p_t, p_next_t), reverse=True
+    )
+    # Trim the s = S px row (identically zero: px_pad2[S] = -inf).
+    px_grad = jnp.moveaxis(px_rows, 0, 1)[:, :S, :]
+    py_grad = jnp.moveaxis(py_rows, 0, 1)
+    return px_grad, py_grad
+
+
+# -----------------------------------------------------------------------------
+# Implementation dispatch (XLA scan core now; Pallas kernel plugs in here).
+# -----------------------------------------------------------------------------
+
+_IMPL = {"xla": (_forward_lattice_xla, _backward_lattice_xla)}
+_DEFAULT_IMPL = "xla"
+
+
+def register_impl(name, forward_fn, backward_fn, default: bool = False):
+    """Register an alternative lattice implementation (e.g. the Pallas
+    wavefront kernels in ops/kernels/)."""
+    global _DEFAULT_IMPL
+    _IMPL[name] = (forward_fn, backward_fn)
+    if default:
+        _DEFAULT_IMPL = name
+
+
+def _get_impl(impl: Optional[str]):
+    if impl is None or impl == "auto":
+        impl = _DEFAULT_IMPL
+    return _IMPL[impl]
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# --- scores-only op (used when calc_gradients=False) -------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mi_scores(px, py, boundary, impl):
+    fwd, _ = _get_impl(impl)
+    _, scores = fwd(px, py, boundary)
+    return scores
+
+
+def _mi_scores_fwd(px, py, boundary, impl):
+    fwd, _ = _get_impl(impl)
+    p, scores = fwd(px, py, boundary)
+    return scores, (px, py, boundary, p)
+
+
+def _mi_scores_bwd(impl, res, ans_grad):
+    px, py, boundary, p = res
+    _, bwd = _get_impl(impl)
+    px_grad, py_grad = bwd(px, py, p, boundary, ans_grad)
+    return px_grad, py_grad, _float0_like(boundary)
+
+
+_mi_scores.defvjp(_mi_scores_fwd, _mi_scores_bwd)
+
+
+# --- fused scores + occupancy op (calc_gradients=True) ------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mi_with_grads(px, py, boundary, impl):
+    fwd, bwd = _get_impl(impl)
+    p, scores = fwd(px, py, boundary)
+    ones = jnp.ones_like(scores)
+    px_grad, py_grad = bwd(px, py, p, boundary, ones)
+    return scores, px_grad, py_grad
+
+
+def _mi_with_grads_fwd(px, py, boundary, impl):
+    fwd, bwd = _get_impl(impl)
+    p, scores = fwd(px, py, boundary)
+    ones = jnp.ones_like(scores)
+    px_grad, py_grad = bwd(px, py, p, boundary, ones)
+    return (scores, px_grad, py_grad), (px_grad, py_grad, boundary)
+
+
+def _mi_with_grads_bwd(impl, res, cots):
+    # The occupancy outputs are treated as non-differentiable, exactly like
+    # the reference's registered gradient which only propagates the score
+    # cotangent: ans_grad * px_grad / py_grad (__init__.py:154-162).  Since
+    # the backward recursion is linear in the seed, occupancies computed with
+    # a seed of 1 in the forward pass can simply be rescaled here — the same
+    # "compute grads in the forward op" trick as tf_fast_rnnt_op.cc:89-111.
+    px_grad, py_grad, boundary = res
+    ans_grad = cots[0]
+    scale = ans_grad[:, None, None].astype(px_grad.dtype)
+    return scale * px_grad, scale * py_grad, _float0_like(boundary)
+
+
+_mi_with_grads.defvjp(_mi_with_grads_fwd, _mi_with_grads_bwd)
+
+
+# --- public API ---------------------------------------------------------------
+
+
+def mutual_information_recursion(
+    px: jax.Array,
+    py: jax.Array,
+    boundary: Optional[jax.Array] = None,
+    calc_gradients: bool = False,
+    impl: Optional[str] = None,
+) -> Union[jax.Array, Tuple[jax.Array, Tuple[jax.Array, jax.Array]]]:
+    """Mutual-information recursion between pairs of sequences.
+
+    Drop-in equivalent of the reference ``mutual_information_recursion``
+    (/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/__init__.py:42-149).
+
+    Args:
+      px: [B, S, T+1] (regular) or [B, S, T] (modified/constrained) log-prob
+        increments for extending the symbol sequence.
+      py: [B, S+1, T] log-prob increments for extending the frame sequence.
+      boundary: optional int32 [B, 4] rows of [s_begin, t_begin, s_end, t_end];
+        defaults to [0, 0, S, T].  (Optional here — mandatory in the
+        reference, whose README lists that as a known limitation.)
+      calc_gradients: if True, additionally return the occupancy
+        probabilities (px_grad, py_grad) — the gradients of ``scores.sum()``
+        w.r.t. (px, py) — computed in the same fused pass and reused by
+        autodiff, mirroring tf_fast_rnnt_op.cc:89-111.
+      impl: lattice implementation: "xla" (associative-scan core),
+        "pallas" (TPU wavefront kernel, once registered), or None/"auto".
+
+    Returns:
+      scores [B], or (scores, (px_grad, py_grad)) if calc_gradients.
+    """
+    B, S, T1 = px.shape
+    T = py.shape[2]
+    if py.shape != (B, S + 1, T):
+        raise ValueError(f"py shape {py.shape} != ({B}, {S + 1}, {T})")
+    if T1 not in (T, T + 1):
+        raise ValueError(f"px last dim {T1} must be T={T} or T+1={T + 1}")
+    boundary = _normalize_boundary(boundary, B, S, T)
+    if boundary.shape != (B, 4):
+        raise ValueError(f"boundary shape {boundary.shape} != ({B}, 4)")
+    if calc_gradients:
+        scores, px_grad, py_grad = _mi_with_grads(px, py, boundary, impl)
+        return scores, (px_grad, py_grad)
+    return _mi_scores(px, py, boundary, impl)
+
+
+def cummin(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Inclusive running minimum along ``axis``.
+
+    TPU-native replacement for the reference's Blelloch-scan CUDA kernel
+    (mutual_information_cuda.cu:876-1012 + the ``Cummin`` op,
+    tf_fast_rnnt_op.cc:135-165): on TPU this is just an associative scan.
+    """
+    return jax.lax.associative_scan(jnp.minimum, x, axis=axis)
+
+
+def monotonic_lower_bound(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Monotone non-decreasing lower bound along ``axis`` (reverse cummin).
+
+    Equivalent to the reference ``_monotonic_lower_bound``
+    (rnnt_loss.py:553-585): x_out[i] = min(x[i], x[i+1], ..., x[-1]).
+    """
+    axis = axis % x.ndim
+    return jax.lax.associative_scan(jnp.minimum, x, axis=axis, reverse=True)

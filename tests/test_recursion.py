@@ -1,0 +1,239 @@
+"""Parity tests: XLA associative-scan recursion vs the independent numpy
+oracle, plus autodiff-composability and boundary/edge-case checks.
+
+This supplies the rigor the reference's own tests lack (its tests are
+assertion-free smoke tests; see SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_rnnt_tpu import cummin, monotonic_lower_bound, mutual_information_recursion
+
+from .oracle import mi_loop
+
+
+def _random_pxpy(rng, B, S, T, modified=False, neg_inf_frac=0.0):
+    T1 = T if modified else T + 1
+    px = rng.normal(size=(B, S, T1)).astype(np.float32) * 2.0
+    py = rng.normal(size=(B, S + 1, T)).astype(np.float32) * 2.0
+    if not modified:
+        px[:, :, -1] = -np.inf  # the standard "regular" last-frame column
+    if neg_inf_frac:
+        px[rng.random(px.shape) < neg_inf_frac] = -np.inf
+        py[rng.random(py.shape) < neg_inf_frac] = -np.inf
+    return px, py
+
+
+def _random_boundary(rng, B, S, T, ragged=True):
+    if not ragged:
+        return np.tile(np.array([0, 0, S, T], dtype=np.int32), (B, 1))
+    se = rng.integers(1, S + 1, size=B)
+    te = np.maximum(rng.integers(1, T + 1, size=B), se)
+    return np.stack(
+        [np.zeros(B, np.int32), np.zeros(B, np.int32), se, te], axis=1
+    ).astype(np.int32)
+
+
+@pytest.mark.parametrize("modified", [False, True])
+@pytest.mark.parametrize("ragged", [False, True])
+def test_scores_and_occupancies_match_oracle(modified, ragged):
+    rng = np.random.default_rng(1234)
+    B, S, T = 3, 5, 9
+    px, py = _random_pxpy(rng, B, S, T, modified=modified)
+    boundary = _random_boundary(rng, B, S, T, ragged=ragged)
+
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(px, py, boundary)
+    scores, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary), calc_gradients=True
+    )
+
+    np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+
+
+def test_boundary_optional_defaults_to_full():
+    rng = np.random.default_rng(7)
+    B, S, T = 2, 4, 6
+    px, py = _random_pxpy(rng, B, S, T)
+    full = np.tile(np.array([0, 0, S, T], dtype=np.int32), (B, 1))
+    s_none = mutual_information_recursion(jnp.asarray(px), jnp.asarray(py))
+    s_full = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(full)
+    )
+    np.testing.assert_allclose(s_none, s_full, rtol=1e-6)
+
+
+def test_nonzero_begin_boundary():
+    rng = np.random.default_rng(11)
+    B, S, T = 2, 6, 10
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = np.array([[1, 2, 5, 9], [0, 0, 6, 10]], dtype=np.int32)
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(px, py, boundary)
+    scores, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary), calc_gradients=True
+    )
+    np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+    # occupancies vanish outside the boundary rectangle
+    assert np.all(np.asarray(pxg)[0, 5:, :] == 0)
+    assert np.all(np.asarray(pyg)[0, :, 9:] == 0)
+    assert np.all(np.asarray(pyg)[0, :, :2] == 0)
+
+
+def test_occupancy_totals():
+    """Total blank occupancy per utterance must equal t_end - t_begin, and
+    (regular) total symbol occupancy must equal s_end - s_begin: every path
+    crosses exactly that many arcs of each kind."""
+    rng = np.random.default_rng(3)
+    B, S, T = 4, 5, 8
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = _random_boundary(rng, B, S, T, ragged=True)
+    _, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary), calc_gradients=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pyg).sum(axis=(1, 2)), boundary[:, 3] - boundary[:, 1], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pxg).sum(axis=(1, 2)), boundary[:, 2] - boundary[:, 0], rtol=1e-4
+    )
+
+
+def test_grad_composes_with_jax_grad():
+    """jax.grad of scores.sum() must equal the calc_gradients occupancies
+    (the reference documents exactly this equivalence, __init__.py:108-113)."""
+    rng = np.random.default_rng(5)
+    B, S, T = 2, 4, 7
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = _random_boundary(rng, B, S, T)
+    px_j, py_j, b_j = jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary)
+
+    def total(px, py):
+        return mutual_information_recursion(px, py, b_j).sum()
+
+    gx, gy = jax.grad(total, argnums=(0, 1))(px_j, py_j)
+    _, (pxg, pyg) = mutual_information_recursion(px_j, py_j, b_j, calc_gradients=True)
+    np.testing.assert_allclose(gx, pxg, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gy, pyg, rtol=1e-5, atol=1e-6)
+
+
+def test_grad_scales_linearly_with_cotangent():
+    rng = np.random.default_rng(6)
+    B, S, T = 2, 3, 5
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(_random_boundary(rng, B, S, T))
+    w = jnp.asarray([0.5, -2.0])
+
+    def weighted(px, py):
+        return (mutual_information_recursion(px, py, b) * w).sum()
+
+    gx, gy = jax.grad(weighted, argnums=(0, 1))(jnp.asarray(px), jnp.asarray(py))
+    _, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), b, calc_gradients=True
+    )
+    np.testing.assert_allclose(gx, w[:, None, None] * pxg, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gy, w[:, None, None] * pyg, rtol=1e-5, atol=1e-6)
+
+
+def test_grad_through_calc_gradients_path():
+    """Differentiating a loss that used calc_gradients=True must give the
+    same input grads (the fused op must be autodiff-transparent)."""
+    rng = np.random.default_rng(8)
+    B, S, T = 2, 3, 5
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(_random_boundary(rng, B, S, T))
+
+    def loss_fused(px, py):
+        scores, _ = mutual_information_recursion(px, py, b, calc_gradients=True)
+        return scores.sum()
+
+    def loss_plain(px, py):
+        return mutual_information_recursion(px, py, b).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(px), jnp.asarray(py))
+    g2 = jax.grad(loss_plain, argnums=(0, 1))(jnp.asarray(px), jnp.asarray(py))
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-5, atol=1e-6)
+
+
+def test_finite_differences():
+    rng = np.random.default_rng(9)
+    B, S, T = 1, 3, 4
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(_random_boundary(rng, B, S, T, ragged=False))
+
+    def total(px, py):
+        return mutual_information_recursion(px, py, b).sum()
+
+    gx, gy = jax.grad(total, argnums=(0, 1))(jnp.asarray(px), jnp.asarray(py))
+    eps = 1e-3
+    for (s, t) in [(0, 0), (1, 2), (2, 3)]:
+        d = np.zeros_like(px)
+        d[0, s, t] = eps
+        f1 = total(jnp.asarray(px + d), jnp.asarray(py))
+        f0 = total(jnp.asarray(px - d), jnp.asarray(py))
+        np.testing.assert_allclose(
+            (f1 - f0) / (2 * eps), gx[0, s, t], rtol=1e-2, atol=1e-3
+        )
+
+
+def test_neg_inf_inputs_no_nan():
+    rng = np.random.default_rng(10)
+    B, S, T = 2, 4, 6
+    px, py = _random_pxpy(rng, B, S, T, neg_inf_frac=0.3)
+    b = jnp.asarray(_random_boundary(rng, B, S, T))
+    scores, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), b, calc_gradients=True
+    )
+    assert not np.any(np.isnan(np.asarray(scores)))
+    assert not np.any(np.isnan(np.asarray(pxg)))
+    assert not np.any(np.isnan(np.asarray(pyg)))
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(px, py, np.asarray(b))
+    np.testing.assert_allclose(
+        np.where(np.isneginf(ref_scores), -1e30, ref_scores),
+        np.where(np.isneginf(np.asarray(scores)), -1e30, np.asarray(scores)),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+
+
+def test_empty_sequence_boundary():
+    """s_begin == s_end and t_begin == t_end gives score 0 (empty alignment)."""
+    rng = np.random.default_rng(12)
+    B, S, T = 2, 3, 4
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(np.array([[1, 2, 1, 2], [0, 0, 3, 4]], dtype=np.int32))
+    scores = mutual_information_recursion(jnp.asarray(px), jnp.asarray(py), b)
+    assert np.allclose(np.asarray(scores)[0], 0.0)
+
+
+def test_jit_and_vmap():
+    rng = np.random.default_rng(13)
+    B, S, T = 4, 3, 5
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(_random_boundary(rng, B, S, T))
+    f = jax.jit(lambda px, py, b: mutual_information_recursion(px, py, b))
+    s1 = f(jnp.asarray(px), jnp.asarray(py), b)
+    s2 = mutual_information_recursion(jnp.asarray(px), jnp.asarray(py), b)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_cummin_and_monotonic_lower_bound():
+    x = jnp.asarray(np.array([[0, 2, 1, 3, 6, 5, 8]], dtype=np.int32))
+    # reference docstring example (rnnt_loss.py:560-563)
+    out = monotonic_lower_bound(x)
+    np.testing.assert_array_equal(np.asarray(out)[0], [0, 1, 1, 3, 5, 5, 8])
+    y = jnp.asarray(np.array([[3, 1, 2, 0]], dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(cummin(y))[0], [3, 1, 1, 0])
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.integers(0, 20, size=(3, 6)).astype(np.int32))
+    m = np.asarray(monotonic_lower_bound(z))
+    assert np.all(m[:, :-1] <= m[:, 1:])
+    assert np.all(m <= np.asarray(z))
