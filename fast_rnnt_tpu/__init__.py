@@ -8,60 +8,59 @@ lifting the reference's two declared limitations (GPU-only; mandatory
 boundary).
 
 Public API parity with the reference package
-(/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/__init__.py:24-33):
-
-  mutual_information_recursion, cummin,
-  rnnt_loss_simple, rnnt_loss_smoothed, rnnt_loss, rnnt_loss_pruned,
-  get_rnnt_logprobs, get_rnnt_logprobs_joint, get_rnnt_logprobs_pruned,
-  get_rnnt_logprobs_smoothed, get_rnnt_prune_ranges, do_rnnt_pruning
+(/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/__init__.py:24-33), plus
+TPU-native extensions (parallel/, models/).
 """
 
+from .ops.lattice import (
+    fix_for_boundary,
+    get_rnnt_logprobs,
+    get_rnnt_logprobs_joint,
+    get_rnnt_logprobs_pruned,
+    get_rnnt_logprobs_smoothed,
+    roll_by_shifts,
+)
+from .ops.losses import (
+    rnnt_loss,
+    rnnt_loss_pruned,
+    rnnt_loss_simple,
+    rnnt_loss_smoothed,
+)
+from .ops.pruning import (
+    adjust_pruning_lower_bound,
+    do_rnnt_pruning,
+    get_rnnt_prune_ranges,
+)
 from .ops.recursion import (
     cummin,
     monotonic_lower_bound,
     mutual_information_recursion,
+    register_impl,
 )
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "__version__",
+    # recursion core
+    "mutual_information_recursion",
     "cummin",
     "monotonic_lower_bound",
-    "mutual_information_recursion",
-    "__version__",
+    "register_impl",
+    # lattice construction
+    "fix_for_boundary",
+    "get_rnnt_logprobs",
+    "get_rnnt_logprobs_joint",
+    "get_rnnt_logprobs_pruned",
+    "get_rnnt_logprobs_smoothed",
+    "roll_by_shifts",
+    # pruning pipeline
+    "adjust_pruning_lower_bound",
+    "get_rnnt_prune_ranges",
+    "do_rnnt_pruning",
+    # losses
+    "rnnt_loss_simple",
+    "rnnt_loss_smoothed",
+    "rnnt_loss",
+    "rnnt_loss_pruned",
 ]
-
-
-def _export(names, module):
-    import importlib
-
-    mod = importlib.import_module(module, __package__)
-    for n in names:
-        globals()[n] = getattr(mod, n)
-        __all__.append(n)
-
-
-# Lattice construction + losses + pruning are appended to the public API as
-# those modules land; imported eagerly so `import fast_rnnt_tpu` exposes the
-# full reference-parity surface.
-try:  # pragma: no cover - import-time wiring
-    _export(
-        [
-            "get_rnnt_logprobs",
-            "get_rnnt_logprobs_joint",
-            "get_rnnt_logprobs_pruned",
-            "get_rnnt_logprobs_smoothed",
-            "fix_for_boundary",
-        ],
-        ".ops.lattice",
-    )
-    _export(
-        ["get_rnnt_prune_ranges", "do_rnnt_pruning"],
-        ".ops.pruning",
-    )
-    _export(
-        ["rnnt_loss_simple", "rnnt_loss_smoothed", "rnnt_loss", "rnnt_loss_pruned"],
-        ".ops.losses",
-    )
-except ImportError:  # modules land incrementally during the build
-    pass

@@ -1,4 +1,14 @@
+from .lattice import (
+    fix_for_boundary,
+    get_rnnt_logprobs,
+    get_rnnt_logprobs_joint,
+    get_rnnt_logprobs_pruned,
+    get_rnnt_logprobs_smoothed,
+    roll_by_shifts,
+)
+from .losses import rnnt_loss, rnnt_loss_pruned, rnnt_loss_simple, rnnt_loss_smoothed
 from .numerics import logaddexp, safe_exp
+from .pruning import adjust_pruning_lower_bound, do_rnnt_pruning, get_rnnt_prune_ranges
 from .recursion import (
     cummin,
     monotonic_lower_bound,
@@ -13,4 +23,17 @@ __all__ = [
     "monotonic_lower_bound",
     "mutual_information_recursion",
     "register_impl",
+    "fix_for_boundary",
+    "get_rnnt_logprobs",
+    "get_rnnt_logprobs_joint",
+    "get_rnnt_logprobs_pruned",
+    "get_rnnt_logprobs_smoothed",
+    "roll_by_shifts",
+    "adjust_pruning_lower_bound",
+    "do_rnnt_pruning",
+    "get_rnnt_prune_ranges",
+    "rnnt_loss",
+    "rnnt_loss_pruned",
+    "rnnt_loss_simple",
+    "rnnt_loss_smoothed",
 ]

@@ -1,0 +1,360 @@
+"""(px, py) lattice construction for the RNN-T recursion.
+
+TPU-native re-implementation of the lattice builders in
+/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/rnnt_loss.py:
+
+  get_rnnt_logprobs           rnnt_loss.py:63-223    (simple/additive joiner)
+  get_rnnt_logprobs_joint     rnnt_loss.py:340-452   (full joiner output)
+  get_rnnt_logprobs_pruned    rnnt_loss.py:853-1020  (pruned joiner output)
+  get_rnnt_logprobs_smoothed  rnnt_loss.py:1132-1367 (lm/am interpolated)
+  fix_for_boundary            rnnt_loss.py:29-61
+
+Shape/semantic contract is identical to the reference; the implementations
+are pure jnp (gathers via take_along_axis, the normalizer matmul on the MXU)
+so they fuse under jit and shard under pjit.  Known reference bugs fixed
+(each noted inline): the `modified` normalizer-width mismatches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .numerics import NEG_INF
+
+__all__ = [
+    "fix_for_boundary",
+    "get_rnnt_logprobs",
+    "get_rnnt_logprobs_joint",
+    "get_rnnt_logprobs_pruned",
+    "get_rnnt_logprobs_smoothed",
+    "roll_by_shifts",
+]
+
+RNNT_TYPES = ("regular", "modified", "constrained")
+
+# Guard for log(0) in the normalizer matmul.  The reference adds
+# nextafter(0, 1) = 1.4e-45 (rnnt_loss.py:181), a float32 denormal — TPUs
+# flush denormals to zero, so we use the smallest *normal* float32 instead.
+# Only distinguishable when the inner product underflows below 1e-38.
+_TINY = float(np.finfo(np.float32).tiny)
+
+
+def _check_rnnt_type(rnnt_type: str) -> None:
+    if rnnt_type not in RNNT_TYPES:
+        raise ValueError(f"rnnt_type must be one of {RNNT_TYPES}, got {rnnt_type!r}")
+
+
+def fix_for_boundary(px: jax.Array, boundary: Optional[jax.Array] = None) -> jax.Array:
+    """Set ``px[b, :, boundary[b, 3]] = -inf`` (regular rnnt_type only).
+
+    On the per-utterance one-past-the-last frame no symbol can be emitted;
+    with no boundary the -inf column appended at t = T already encodes this.
+    Equivalent to rnnt_loss.py:29-61 (scatter replaced by a vector compare —
+    scatter is slow on TPU, a masked where fuses for free).
+    """
+    if boundary is None:
+        return px
+    T1 = px.shape[2]
+    t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T1), 2)
+    return jnp.where(t == boundary[:, 3][:, None, None], NEG_INF, px)
+
+
+def get_rnnt_logprobs(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    rnnt_type: str = "regular",
+    boundary: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reduce the simple (additive-joiner) RNN-T problem to (px, py).
+
+    Equivalent to rnnt_loss.py:63-223.  The key memory trick is preserved:
+    the per-(s, t) normalizer is a single [S+1, C] x [C, T] matmul
+    (rnnt_loss.py:175-186) instead of materializing [B, T, S+1, C] logits —
+    this is also exactly the shape the TPU MXU wants.
+
+    Args:
+      lm: [B, S+1, C] language-model logits.
+      am: [B, T, C] acoustic-model logits.
+      symbols: int [B, S].
+      termination_symbol: blank id in [0, C).
+      rnnt_type: "regular" | "modified" | "constrained".
+      boundary: optional int [B, 4] rows [s_begin, t_begin, s_end, t_end].
+
+    Returns:
+      px: [B, S, T+1] ("regular") or [B, S, T] (otherwise); py: [B, S+1, T].
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+
+    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
+    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    am_probs = jnp.exp(am - am_max)
+    lm_probs = jnp.exp(lm - lm_max)
+    normalizers = jnp.log(
+        jnp.einsum(
+            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32
+        )
+        + _TINY
+    )
+    normalizers = normalizers + lm_max + jnp.swapaxes(am_max, 1, 2)  # [B, S+1, T]
+
+    # px_am[b, s, t] = am[b, t, symbols[b, s]]
+    px_am = jnp.take_along_axis(
+        jnp.swapaxes(am, 1, 2), symbols[:, :, None], axis=1
+    )  # [B, S, T]
+    if rnnt_type == "regular":
+        px_am = jnp.concatenate(
+            [px_am, jnp.full((B, S, 1), NEG_INF, dtype=px_am.dtype)], axis=2
+        )  # [B, S, T+1]
+    # px_lm[b, s] = lm[b, s, symbols[b, s]]
+    px_lm = jnp.take_along_axis(lm[:, :S, :], symbols[:, :, None], axis=2)  # [B,S,1]
+    px = px_am + px_lm
+    px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
+
+    py_am = am[:, :, termination_symbol][:, None, :]  # [B, 1, T]
+    py_lm = lm[:, :, termination_symbol][:, :, None]  # [B, S+1, 1]
+    py = py_am + py_lm - normalizers
+
+    if rnnt_type == "regular":
+        px = fix_for_boundary(px, boundary)
+    elif rnnt_type == "constrained":
+        px = px + py[:, 1:, :]
+    return px, py
+
+
+def _pad_normalizers(normalizers: jax.Array, rnnt_type: str) -> jax.Array:
+    """Width-match the normalizers to px: append a zero column for the extra
+    t = T position of "regular" px (where px is -inf; -inf - 0 stays -inf).
+
+    The reference appends the zero column unconditionally
+    (rnnt_loss.py:211) which breaks the modified shapes — fixed here.
+    """
+    if rnnt_type == "regular":
+        B, S1, _ = normalizers.shape
+        return jnp.concatenate(
+            [normalizers, jnp.zeros((B, S1, 1), dtype=normalizers.dtype)], axis=2
+        )
+    return normalizers
+
+
+def get_rnnt_logprobs_joint(
+    logits: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """(px, py) from full joiner output [B, T, S+1, C].
+
+    Equivalent to rnnt_loss.py:340-452.  This is the unpruned/memory-hog
+    path (the [B,T,S+1,C] logsumexp the pruned pipeline exists to avoid).
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, S1, C = logits.shape
+    S = S1 - 1
+
+    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, S+1]
+    normalizers = jnp.swapaxes(normalizers, 1, 2)  # [B, S+1, T]
+
+    # px[b, t, s] = logits[b, t, s, symbols[b, s]]
+    px = jnp.take_along_axis(
+        logits[:, :, :S, :],
+        jnp.broadcast_to(symbols[:, None, :, None], (B, T, S, 1)),
+        axis=3,
+    )[..., 0]  # [B, T, S]
+    px = jnp.swapaxes(px, 1, 2)  # [B, S, T]
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+        )
+    px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
+
+    py = jnp.swapaxes(logits[:, :, :, termination_symbol], 1, 2)  # [B, S+1, T]
+    py = py - normalizers
+
+    if rnnt_type == "regular":
+        px = fix_for_boundary(px, boundary)
+    elif rnnt_type == "constrained":
+        px = px + py[:, 1:, :]
+    return px, py
+
+
+def roll_by_shifts(src: jax.Array, shifts: jax.Array) -> jax.Array:
+    """Per-(b, t) circular right-roll of the last dim by ``shifts[b, t]``.
+
+    Equivalent to ``_roll_by_shifts`` (rnnt_loss.py:814-851): a modular
+    index gather, which XLA lowers to a single take_along_axis.
+    """
+    B, T, S = src.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, T, S), 2)
+    idx = (idx - shifts[:, :, None].astype(jnp.int32)) % S
+    return jnp.take_along_axis(src, idx, axis=2)
+
+
+def get_rnnt_logprobs_pruned(
+    logits: jax.Array,
+    symbols: jax.Array,
+    ranges: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """(px, py) from pruned joiner output [B, T, s_range, C].
+
+    Equivalent to rnnt_loss.py:853-1020: per-frame logsumexp normalizer,
+    pruned-symbol gather, then padding to full S(+1) width with -inf and
+    un-shifting each frame's window back to absolute symbol positions with
+    a modular roll.
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, s_range, C = logits.shape
+    S = symbols.shape[1]
+
+    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, s_range]
+
+    symbols_with_terminal = jnp.concatenate(
+        [
+            symbols.astype(jnp.int32),
+            jnp.full((B, 1), termination_symbol, dtype=jnp.int32),
+        ],
+        axis=1,
+    )  # [B, S+1]
+    # pruned_symbols[b, t, k] = symbols_with_terminal[b, ranges[b, t, k]]
+    pruned_symbols = jnp.take_along_axis(
+        symbols_with_terminal[:, None, :], ranges.astype(jnp.int32), axis=2
+    )  # [B, T, s_range]
+
+    px = jnp.take_along_axis(logits, pruned_symbols[:, :, :, None], axis=3)[..., 0]
+    px = px - normalizers  # [B, T, s_range]
+    px = jnp.concatenate(
+        [px, jnp.full((B, T, S + 1 - s_range), NEG_INF, dtype=px.dtype)], axis=2
+    )  # [B, T, S+1]
+    px = roll_by_shifts(px, ranges[:, :, 0])[:, :, :S]  # absolute s positions
+    px = jnp.swapaxes(px, 1, 2)  # [B, S, T]
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+        )
+
+    py = logits[:, :, :, termination_symbol] - normalizers  # [B, T, s_range]
+    py = jnp.concatenate(
+        [py, jnp.full((B, T, S + 1 - s_range), NEG_INF, dtype=py.dtype)], axis=2
+    )  # [B, T, S+1]
+    py = roll_by_shifts(py, ranges[:, :, 0])
+    py = jnp.swapaxes(py, 1, 2)  # [B, S+1, T]
+
+    if rnnt_type == "regular":
+        px = fix_for_boundary(px, boundary)
+    elif rnnt_type == "constrained":
+        px = px + py[:, 1:, :]
+    return px, py
+
+
+def get_rnnt_logprobs_smoothed(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    lm_only_scale: float = 0.1,
+    am_only_scale: float = 0.1,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """Smoothed/interpolated simple lattice:
+
+        combined * (1 - a - b) + lm_only * a + am_only * b
+
+    where the am-only term uses a unigram LM (mean of the normalized lm
+    probs over batch and position).  Equivalent to rnnt_loss.py:1132-1367,
+    including the 1e-20 floor on zero scales to avoid 0 * -inf = NaN
+    (rnnt_loss.py:1344-1349).
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+
+    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
+    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    am_probs = jnp.exp(am - am_max)
+    lm_probs = jnp.exp(lm - lm_max)
+    normalizers = jnp.log(
+        jnp.einsum(
+            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32
+        )
+        + _TINY
+    )
+    normalizers = normalizers + lm_max + jnp.swapaxes(am_max, 1, 2)  # [B, S+1, T]
+
+    # Unigram LM: average of per-position normalized lm probs over (B, S+1)
+    # — including padding positions, to match the reference exactly
+    # (rnnt_loss.py:1279-1280).
+    lmonly_normalizers = jnp.sum(lm_probs, axis=2, keepdims=True)  # [B, S+1, 1]
+    unigram_lm = (
+        jnp.mean(lm_probs / lmonly_normalizers, axis=(0, 1), keepdims=True) + _TINY
+    )  # [1, 1, C]
+    amonly_normalizers = (
+        jnp.log(
+            jnp.einsum(
+                "btc,c->bt",
+                am_probs,
+                unigram_lm[0, 0],
+                preferred_element_type=jnp.float32,
+            )
+        )[:, :, None]
+        + am_max
+    )  # [B, T, 1]
+    amonly_normalizers = jnp.swapaxes(amonly_normalizers, 1, 2)  # [B, 1, T]
+    unigram_lm = jnp.log(unigram_lm)
+    lmonly_normalizers = jnp.log(lmonly_normalizers) + lm_max  # [B, S+1, 1]
+
+    px_am = jnp.take_along_axis(
+        jnp.swapaxes(am, 1, 2), symbols[:, :, None], axis=1
+    )  # [B, S, T]
+    if rnnt_type == "regular":
+        px_am = jnp.concatenate(
+            [px_am, jnp.full((B, S, 1), NEG_INF, dtype=px_am.dtype)], axis=2
+        )
+    px_lm = jnp.take_along_axis(lm[:, :S, :], symbols[:, :, None], axis=2)  # [B,S,1]
+    px_lm_unigram = jnp.take_along_axis(
+        jnp.broadcast_to(unigram_lm, (B, S, C)), symbols[:, :, None], axis=2
+    )  # [B, S, 1]
+
+    px = px_am + px_lm
+    px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
+    px_amonly = px_am + px_lm_unigram
+    px_amonly = px_amonly - _pad_normalizers(amonly_normalizers, rnnt_type)
+    px_lmonly = px_lm - lmonly_normalizers[:, :S, :]
+
+    py_am = am[:, :, termination_symbol][:, None, :]  # [B, 1, T]
+    py_lm = lm[:, :, termination_symbol][:, :, None]  # [B, S+1, 1]
+    py = py_am + py_lm - normalizers
+    py_lm_unigram = unigram_lm[0, 0, termination_symbol]  # scalar
+    py_amonly = py_am + py_lm_unigram - amonly_normalizers  # [B, 1, T]
+    py_lmonly = py_lm - lmonly_normalizers  # [B, S+1, 1]
+
+    combined_scale = 1.0 - lm_only_scale - am_only_scale
+    # avoid 0 * -inf = NaN when a scale is exactly zero
+    if lm_only_scale == 0.0:
+        lm_only_scale = 1.0e-20
+    if am_only_scale == 0.0:
+        am_only_scale = 1.0e-20
+
+    px_interp = (
+        px * combined_scale + px_lmonly * lm_only_scale + px_amonly * am_only_scale
+    )
+    py_interp = (
+        py * combined_scale + py_lmonly * lm_only_scale + py_amonly * am_only_scale
+    )
+
+    if rnnt_type == "regular":
+        px_interp = fix_for_boundary(px_interp, boundary)
+    elif rnnt_type == "constrained":
+        px_interp = px_interp + py_interp[:, 1:, :]
+    return px_interp, py_interp

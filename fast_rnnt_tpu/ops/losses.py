@@ -1,0 +1,217 @@
+"""RNN-T loss functions (simple / smoothed / full / pruned).
+
+Equivalent public surface to the reference
+(/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/rnnt_loss.py):
+
+  rnnt_loss_simple    rnnt_loss.py:225-338
+  rnnt_loss           rnnt_loss.py:454-551
+  rnnt_loss_pruned    rnnt_loss.py:1022-1130
+  rnnt_loss_smoothed  rnnt_loss.py:1369-1494
+
+Reference bugs fixed (documented, deliberate):
+  * reduction="mean" called torch.mean inside TF code (rnnt_loss.py:331,
+    a NameError) — implemented as an actual batch mean here.
+  * the boundary=None delay-penalty path constructed tf.Tensor(...) invalidly
+    (rnnt_loss.py:312-314) — here it falls back to (T-1)/2 as documented.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .lattice import (
+    get_rnnt_logprobs,
+    get_rnnt_logprobs_joint,
+    get_rnnt_logprobs_pruned,
+    get_rnnt_logprobs_smoothed,
+)
+from .recursion import mutual_information_recursion
+
+__all__ = [
+    "rnnt_loss_simple",
+    "rnnt_loss",
+    "rnnt_loss_pruned",
+    "rnnt_loss_smoothed",
+]
+
+LossOrLossAndGrads = Union[
+    jax.Array, Tuple[jax.Array, Tuple[jax.Array, jax.Array]]
+]
+
+
+def _apply_delay_penalty(
+    px: jax.Array,
+    boundary: Optional[jax.Array],
+    rnnt_type: str,
+    delay_penalty: float,
+) -> jax.Array:
+    """Add ``((t_end - 1)/2 - t) * delay_penalty`` to px (k2 issue #955;
+    reference rnnt_loss.py:305-321)."""
+    if delay_penalty <= 0.0:
+        return px
+    B, S, T0 = px.shape
+    T = T0 if rnnt_type != "regular" else T0 - 1
+    if boundary is None:
+        offset = jnp.full((B, 1, 1), (T - 1) / 2.0, dtype=px.dtype)
+    else:
+        offset = ((boundary[:, 3].astype(px.dtype) - 1.0) / 2.0)[:, None, None]
+    penalty = offset - jnp.arange(T0, dtype=px.dtype)[None, None, :]
+    return px + penalty * delay_penalty
+
+
+def _reduce(negated_loss: jax.Array, reduction: Optional[str]) -> jax.Array:
+    if reduction == "none" or reduction is None:
+        return -negated_loss
+    if reduction == "mean":
+        return -jnp.mean(negated_loss)
+    if reduction == "sum":
+        return -jnp.sum(negated_loss)
+    raise ValueError(
+        f"reduction should be ('none' | 'mean' | 'sum'), given {reduction}"
+    )
+
+
+def rnnt_loss_simple(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    calc_gradients: bool = False,
+    impl: Optional[str] = None,
+) -> LossOrLossAndGrads:
+    """Simple RNN-T loss (the joiner is just lm + am).
+
+    Equivalent to rnnt_loss.py:225-338.  With ``calc_gradients=True`` also
+    returns ``(px_grad, py_grad)`` — the occupancy probabilities (gradients
+    of ``-loss.sum()`` with reduction "none") that feed
+    :func:`get_rnnt_prune_ranges`.
+
+    Returns loss of shape [B] for reduction "none", else a scalar; a tuple
+    ``(loss, (px_grad, py_grad))`` when ``calc_gradients``.
+    """
+    px, py = get_rnnt_logprobs(
+        lm=lm,
+        am=am,
+        symbols=symbols,
+        termination_symbol=termination_symbol,
+        rnnt_type=rnnt_type,
+        boundary=boundary,
+    )
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    out = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients, impl=impl
+    )
+    if calc_gradients:
+        negated_loss, grads = out
+        return _reduce(negated_loss, reduction), grads
+    return _reduce(out, reduction)
+
+
+def rnnt_loss(
+    logits: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    calc_gradients: bool = False,
+    impl: Optional[str] = None,
+) -> LossOrLossAndGrads:
+    """Unpruned RNN-T loss from full joiner output [B, T, S+1, C].
+
+    Equivalent to rnnt_loss.py:454-551.
+    """
+    px, py = get_rnnt_logprobs_joint(
+        logits=logits,
+        symbols=symbols,
+        termination_symbol=termination_symbol,
+        boundary=boundary,
+        rnnt_type=rnnt_type,
+    )
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    out = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients, impl=impl
+    )
+    if calc_gradients:
+        negated_loss, grads = out
+        return _reduce(negated_loss, reduction), grads
+    return _reduce(out, reduction)
+
+
+def rnnt_loss_pruned(
+    logits: jax.Array,
+    symbols: jax.Array,
+    ranges: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Pruned RNN-T loss from pruned joiner output [B, T, s_range, C].
+
+    Equivalent to rnnt_loss.py:1022-1130 (which likewise returns only the
+    loss — its calc_gradients grads are discarded, rnnt_loss.py:1117).
+    Fully differentiable w.r.t. ``logits`` through the px/py construction
+    plus the recursion's custom VJP.
+    """
+    px, py = get_rnnt_logprobs_pruned(
+        logits=logits,
+        symbols=symbols,
+        ranges=ranges,
+        termination_symbol=termination_symbol,
+        boundary=boundary,
+        rnnt_type=rnnt_type,
+    )
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    negated_loss = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
+    )
+    return _reduce(negated_loss, reduction)
+
+
+def rnnt_loss_smoothed(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    lm_only_scale: float = 0.1,
+    am_only_scale: float = 0.1,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    calc_gradients: bool = False,
+    impl: Optional[str] = None,
+) -> LossOrLossAndGrads:
+    """Smoothed simple RNN-T loss with LM-only / AM-only interpolation.
+
+    Equivalent to rnnt_loss.py:1369-1494.
+    """
+    px, py = get_rnnt_logprobs_smoothed(
+        lm=lm,
+        am=am,
+        symbols=symbols,
+        termination_symbol=termination_symbol,
+        lm_only_scale=lm_only_scale,
+        am_only_scale=am_only_scale,
+        boundary=boundary,
+        rnnt_type=rnnt_type,
+    )
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    out = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients, impl=impl
+    )
+    if calc_gradients:
+        negated_loss, grads = out
+        return _reduce(negated_loss, reduction), grads
+    return _reduce(out, reduction)

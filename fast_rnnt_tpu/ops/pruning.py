@@ -1,0 +1,126 @@
+"""Pruning-bound computation and am/lm pruning gathers.
+
+Equivalent to the pruning pipeline of the reference
+(/root/reference/tf_fast_rnnt/python/tf_fast_rnnt/rnnt_loss.py):
+
+  _monotonic_lower_bound        rnnt_loss.py:553-585  -> ops/recursion.py
+  _adjust_pruning_lower_bound   rnnt_loss.py:587-641
+  get_rnnt_prune_ranges         rnnt_loss.py:647-761  (paper §3.2 bounds)
+  do_rnnt_pruning               rnnt_loss.py:763-812
+
+The reference needed a custom CUDA Blelloch scan for the running min; on
+TPU that is ``lax.associative_scan`` (see ops/recursion.py:cummin), so this
+whole module is pure XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .recursion import monotonic_lower_bound
+
+__all__ = [
+    "adjust_pruning_lower_bound",
+    "get_rnnt_prune_ranges",
+    "do_rnnt_pruning",
+]
+
+
+def adjust_pruning_lower_bound(s_begin: jax.Array, s_range: int) -> jax.Array:
+    """Make the per-frame pruning lower bounds valid:
+
+      * monotone non-decreasing,
+      * starting at symbol 0,
+      * stepping by < s_range between consecutive frames.
+
+    Uses the reference's "magic transform" (proof in rnnt_loss.py:604-621):
+    ``s' = -(s_begin - (s_range-1) * t)`` is monotone-bounded, clipped at 0,
+    then transformed back.
+    """
+    B, T = s_begin.shape
+    t_ramp = (s_range - 1) * jnp.arange(T, dtype=jnp.int32)
+    s_begin = monotonic_lower_bound(s_begin.astype(jnp.int32))
+    s_begin = -(s_begin - t_ramp)
+    s_begin = monotonic_lower_bound(s_begin)
+    s_begin = jnp.maximum(s_begin, 0)
+    s_begin = -(s_begin - t_ramp)
+    return s_begin
+
+
+def get_rnnt_prune_ranges(
+    px_grad: jax.Array,
+    py_grad: jax.Array,
+    boundary: jax.Array,
+    s_range: int,
+) -> jax.Array:
+    """Per-frame symbol windows [B, T, s_range] from occupancy gradients.
+
+    For each frame t, picks the window start maximizing the summed blank
+    occupancy of the window minus the symbol occupancy of entering it
+    (Pruned RNN-T paper §3.2; reference rnnt_loss.py:647-761), then repairs
+    the starts to be monotone / step-bounded / 0-based.
+
+    ``s_range`` must be a static Python int (it determines output shape).
+    """
+    B, S, T1 = px_grad.shape
+    T = py_grad.shape[-1]
+    S1 = S + 1
+    if not isinstance(s_range, int):
+        raise TypeError("s_range must be a static Python int")
+    # s_range > S would index past the last symbol window (rnnt_loss.py:710)
+    if s_range > S:
+        s_range = S + 1
+    if T1 == T and s_range < 1:
+        raise ValueError("modified/constrained RNN-T needs s_range >= 1")
+    if T1 == T + 1 and s_range < 2:
+        raise ValueError("regular RNN-T needs s_range >= 2")
+
+    # Window-sum of py_grad over s in [k, k+s_range) for every window start
+    # k, via a padded cumulative sum (rnnt_loss.py:722-725).
+    cumsum = jnp.cumsum(py_grad, axis=1)  # (B, S1, T)
+    cumsum = jnp.concatenate(
+        [jnp.zeros((B, 1, T), dtype=py_grad.dtype), cumsum], axis=1
+    )  # (B, S1+1, T)
+    blk_sum_grad = cumsum[:, s_range:, :] - cumsum[:, : S1 - s_range + 1, :]
+    px_grad_pad = jnp.concatenate(
+        [jnp.zeros((B, 1, T1), dtype=px_grad.dtype), px_grad], axis=1
+    )  # (B, S1, T1)
+    final_grad = blk_sum_grad - px_grad_pad[:, : S1 - s_range + 1, :T]
+    s_begin = jnp.argmax(final_grad, axis=1).astype(jnp.int32)  # (B, T)
+
+    # Frames at/after each utterance's last real frame get the final window
+    # start S - s_range + 1 (clipped at 0), so the last symbol is reachable
+    # on the last frame (rnnt_loss.py:731-748).
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    mask = t_idx < (boundary[:, 3][:, None].astype(jnp.int32) - 1)
+    s_begin_padding = jnp.maximum(
+        boundary[:, 2][:, None].astype(jnp.int32) - s_range + 1, 0
+    )
+    s_begin = jnp.where(mask, s_begin, s_begin_padding)
+
+    # Step bound: modified/constrained emit at most one symbol per frame, so
+    # consecutive starts may differ by at most 1 (rnnt_loss.py:750-756).
+    s_begin = adjust_pruning_lower_bound(s_begin, 2 if T1 == T else s_range)
+
+    return s_begin[:, :, None] + jnp.arange(s_range, dtype=jnp.int32)
+
+
+def do_rnnt_pruning(
+    am: jax.Array, lm: jax.Array, ranges: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Prune encoder/predictor outputs to the per-frame symbol windows.
+
+    Returns (am_pruned, lm_pruned), both [B, T, s_range, C]
+    (equivalent to rnnt_loss.py:763-812).
+    """
+    B, T, s_range = ranges.shape
+    C = lm.shape[2]
+    am_pruned = jnp.broadcast_to(am[:, :, None, :], (B, T, s_range, C))
+    # lm_pruned[b, t, k, :] = lm[b, ranges[b, t, k], :]
+    lm_pruned = jnp.take_along_axis(
+        lm[:, None, :, :], ranges[:, :, :, None].astype(jnp.int32), axis=2
+    )
+    return am_pruned, lm_pruned

@@ -1,0 +1,178 @@
+"""End-to-end loss tests, including BASELINE config #1 (B=2 T=10 S=5 C=20)
+against the numpy oracle and the full pruned pipeline of the reference
+README (/root/reference/README.md:101-154)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_rnnt_tpu import (
+    do_rnnt_pruning,
+    get_rnnt_logprobs,
+    get_rnnt_prune_ranges,
+    rnnt_loss,
+    rnnt_loss_pruned,
+    rnnt_loss_simple,
+    rnnt_loss_smoothed,
+)
+
+from .oracle import mi_loop
+
+
+def _inputs(rng, B=2, T=10, S=5, C=20, ragged=True):
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, C)).astype(np.float32))
+    am = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    symbols = jnp.asarray(rng.integers(0, C, size=(B, S)).astype(np.int32))
+    if ragged:
+        se = rng.integers(1, S + 1, size=B).astype(np.int32)
+        te = np.maximum(se, rng.integers(S, T + 1, size=B)).astype(np.int32)
+    else:
+        se = np.full(B, S, np.int32)
+        te = np.full(B, T, np.int32)
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B, np.int32), np.zeros(B, np.int32), se, te], axis=1)
+    )
+    return lm, am, symbols, boundary
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+def test_simple_loss_matches_oracle(rnnt_type):
+    """BASELINE config #1: loss + occupancy grads vs the loop oracle."""
+    rng = np.random.default_rng(1234)
+    lm, am, symbols, boundary = _inputs(rng)
+    px, py = get_rnnt_logprobs(lm, am, symbols, 0, rnnt_type, boundary)
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(
+        np.asarray(px), np.asarray(py), np.asarray(boundary)
+    )
+    loss, (pxg, pyg) = rnnt_loss_simple(
+        lm,
+        am,
+        symbols,
+        termination_symbol=0,
+        boundary=boundary,
+        rnnt_type=rnnt_type,
+        reduction="none",
+        calc_gradients=True,
+    )
+    np.testing.assert_allclose(loss, -ref_scores, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified"])
+def test_simple_equals_full_joiner_loss(rnnt_type):
+    rng = np.random.default_rng(2)
+    lm, am, symbols, boundary = _inputs(rng)
+    logits = lm[:, None, :, :] + am[:, :, None, :]
+    l1 = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, rnnt_type, reduction="none"
+    )
+    l2 = rnnt_loss(logits, symbols, 0, boundary, rnnt_type, reduction="none")
+    # fp32 matmul-trick vs logsumexp normalizers: ~1e-3-level differences
+    np.testing.assert_allclose(l1, l2, rtol=2e-3, atol=2e-2)
+
+
+def test_reductions():
+    rng = np.random.default_rng(3)
+    lm, am, symbols, boundary = _inputs(rng)
+    ln = rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="none")
+    lm_ = rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="mean")
+    ls = rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="sum")
+    np.testing.assert_allclose(np.asarray(ln).mean(), lm_, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ln).sum(), ls, rtol=1e-6)
+    with pytest.raises(ValueError):
+        rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="max")
+
+
+def test_delay_penalty_changes_loss_and_runs_without_boundary():
+    rng = np.random.default_rng(4)
+    lm, am, symbols, boundary = _inputs(rng, ragged=False)
+    l0 = rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="sum")
+    l1 = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, reduction="sum", delay_penalty=0.2
+    )
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # boundary=None delay-penalty path (broken in the reference,
+    # rnnt_loss.py:312-314) must work here
+    l2 = rnnt_loss_simple(lm, am, symbols, 0, None, reduction="sum", delay_penalty=0.2)
+    assert np.isfinite(np.asarray(l2))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_pruned_pipeline_full_range_equals_unpruned():
+    """With s_range = S+1 the pruned loss must equal the unpruned joint loss
+    exactly: the windows cover every symbol."""
+    rng = np.random.default_rng(5)
+    B, T, S, C = 2, 10, 4, 12
+    lm, am, symbols, boundary = _inputs(rng, B=B, T=T, S=S, C=C)
+    _, (pxg, pyg) = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, reduction="none", calc_gradients=True
+    )
+    ranges = get_rnnt_prune_ranges(pxg, pyg, boundary, S + 1)
+    am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+    logits_pruned = am_p + lm_p
+    l_pruned = rnnt_loss_pruned(
+        logits_pruned, symbols, ranges, 0, boundary, reduction="none"
+    )
+    logits = lm[:, None, :, :] + am[:, :, None, :]
+    l_full = rnnt_loss(logits, symbols, 0, boundary, reduction="none")
+    np.testing.assert_allclose(l_pruned, l_full, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("s_range", [2, 4])
+def test_pruned_pipeline_end_to_end(s_range):
+    """Reference README usage flow (README.md:101-154): simple loss w/ grads
+    -> prune ranges -> pruning -> joiner -> pruned loss, plus jax.grad."""
+    rng = np.random.default_rng(6)
+    B, T, S, C = 3, 12, 6, 16
+    lm, am, symbols, boundary = _inputs(rng, B=B, T=T, S=S, C=C)
+
+    simple_loss, (pxg, pyg) = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, reduction="none", calc_gradients=True
+    )
+    assert np.all(np.isfinite(np.asarray(simple_loss)))
+    ranges = get_rnnt_prune_ranges(pxg, pyg, boundary, s_range)
+
+    def pruned_loss_fn(am, lm):
+        am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+        logits = am_p + lm_p
+        return rnnt_loss_pruned(logits, symbols, ranges, 0, boundary, reduction="sum")
+
+    loss, grads = jax.value_and_grad(pruned_loss_fn, argnums=(0, 1))(am, lm)
+    assert np.isfinite(np.asarray(loss))
+    assert np.all(np.isfinite(np.asarray(grads[0])))
+    assert np.all(np.isfinite(np.asarray(grads[1])))
+    # pruning can only remove paths: pruned total loss >= unpruned total loss
+    logits = lm[:, None, :, :] + am[:, :, None, :]
+    l_full = rnnt_loss(logits, symbols, 0, boundary, reduction="sum")
+    assert np.asarray(loss) >= np.asarray(l_full) - 1e-3
+
+
+def test_smoothed_loss_runs_and_matches_simple_at_zero():
+    rng = np.random.default_rng(7)
+    lm, am, symbols, boundary = _inputs(rng)
+    l_simple = rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="none")
+    l_sm0 = rnnt_loss_smoothed(
+        lm, am, symbols, 0, 0.0, 0.0, boundary, reduction="none"
+    )
+    np.testing.assert_allclose(l_simple, l_sm0, rtol=1e-3, atol=1e-3)
+    l_sm, (pxg, pyg) = rnnt_loss_smoothed(
+        lm, am, symbols, 0, 0.1, 0.1, boundary, reduction="none", calc_gradients=True
+    )
+    assert np.all(np.isfinite(np.asarray(l_sm)))
+    assert np.all(np.isfinite(np.asarray(pxg)))
+
+
+def test_losses_differentiable_wrt_inputs():
+    rng = np.random.default_rng(8)
+    lm, am, symbols, boundary = _inputs(rng, B=2, T=6, S=3, C=8)
+
+    g_lm, g_am = jax.grad(
+        lambda lm, am: rnnt_loss_simple(lm, am, symbols, 0, boundary, reduction="sum"),
+        argnums=(0, 1),
+    )(lm, am)
+    assert np.all(np.isfinite(np.asarray(g_lm)))
+    assert np.all(np.isfinite(np.asarray(g_am)))
+    # grads of the am/lm-shift-invariant loss sum to ~zero over the vocab
+    np.testing.assert_allclose(np.asarray(g_am).sum(-1), 0.0, atol=1e-4)
