@@ -116,7 +116,8 @@ def _forward_lattice_xla(
     # symbol arcs); row 0 is -inf (no arcs into row 0 from below).
     px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
     py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
-    pad_row = jnp.full((1, B, T1), NEG_INF, dtype=px.dtype)
+    # full_like (not jnp.full): propagates device-varying type under shard_map
+    pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     px_pad = jnp.concatenate([pad_row, px_t], axis=0)  # (S+1, B, T1)
 
     sb = boundary[:, 0]
@@ -143,7 +144,7 @@ def _forward_lattice_xla(
         p_row = log_linear_scan(coeff, b, axis=-1)
         return p_row, p_row
 
-    init = jnp.full((B, T + 1), NEG_INF, dtype=px.dtype)
+    init = jax.lax.full_like(py_t, NEG_INF, shape=(B, T + 1))
     _, p_rows = jax.lax.scan(step, init, (s_idx, px_pad, py_t))
     p = jnp.moveaxis(p_rows, 0, 1)  # (B, S+1, T+1)
 
@@ -182,12 +183,12 @@ def _backward_lattice_xla(
 
     px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
     py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
-    pad_row = jnp.full((1, B, T1), NEG_INF, dtype=px.dtype)
+    pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     # px_pad2[s] = px[s] for s < S; -inf for s = S (no arcs out of row S).
     px_pad2 = jnp.concatenate([px_t, pad_row], axis=0)  # (S+1, B, T1)
 
     p_t = jnp.moveaxis(p, 1, 0)  # (S+1, B, T+1)
-    zeros_row = jnp.zeros((1, B, T + 1), dtype=p.dtype)
+    zeros_row = jax.lax.full_like(p_t, 0.0, shape=(1, B, T + 1))
     p_next_t = jnp.concatenate([p_t[1:], zeros_row], axis=0)  # p[s+1] rows
 
     se = boundary[:, 2]
@@ -215,7 +216,7 @@ def _backward_lattice_xla(
         py_grad_row = term2 * g[:, 1:]
         return g, (h_px, py_grad_row)
 
-    init = jnp.zeros((B, T + 1), dtype=p.dtype)
+    init = jax.lax.full_like(p_t, 0.0, shape=(B, T + 1))
     # Rows sweep s = S down to 0 (reverse scan); ys stay aligned with xs.
     _, (px_rows, py_rows) = jax.lax.scan(
         step, init, (s_idx, px_pad2, py_t, p_t, p_next_t), reverse=True

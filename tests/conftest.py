@@ -1,11 +1,13 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars BEFORE jax is imported anywhere in the test process.
+NOTE: in this environment jax is pre-imported by a site hook before any
+test code runs, so JAX_PLATFORMS env changes are too late — but the backend
+is not yet initialized, so `jax.config.update` still selects the platform,
+and XLA_FLAGS is still read at backend creation.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("FRT_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", os.environ.get("FRT_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", False)
