@@ -1,0 +1,104 @@
+"""Benchmark: pruned RNN-T loss training step on the transducer-loss-
+benchmarking workload (BASELINE.md; B=30, T=1000, S=100, C=500, s_range=5).
+
+Measures what the reference's published 38,112 µs covers: forward + backward
+of the full pruned pipeline (simple loss w/ occupancy grads -> prune ranges
+-> pruning gathers -> additive joiner -> pruned loss) w.r.t. (am, lm).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <avg step µs>, "unit": "us", "vs_baseline": <x>}
+vs_baseline > 1 means faster than the reference's GPU number.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fast_rnnt_tpu as frt
+
+BASELINE_US = 38112.0  # /root/reference/README.md:166
+BASELINE_MB = 2647.8
+
+B, T, S, C = 30, 1000, 100, 500
+S_RANGE = 5
+WARMUP = 3
+ITERS = 20
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    am = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, C)).astype(np.float32))
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    # ragged lengths like the benchmarking workload
+    t_end = np.clip(rng.integers(T // 2, T + 1, size=B), S + 2, T).astype(np.int32)
+    s_end = np.clip(rng.integers(S // 2, S + 1, size=B), 2, S).astype(np.int32)
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B, np.int32), np.zeros(B, np.int32), s_end, t_end], axis=1)
+    )
+    return am, lm, symbols, boundary
+
+
+def step_fn(am, lm, symbols, boundary):
+    def loss_fn(am, lm):
+        simple_loss, (px_grad, py_grad) = frt.rnnt_loss_simple(
+            lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
+        )
+        ranges = frt.get_rnnt_prune_ranges(px_grad, py_grad, boundary, S_RANGE)
+        am_p, lm_p = frt.do_rnnt_pruning(am, lm, ranges)
+        logits = am_p + lm_p  # additive joiner, as in the benchmark workload
+        pruned_loss = frt.rnnt_loss_pruned(
+            logits, symbols, ranges, 0, boundary, reduction="sum"
+        )
+        return 0.5 * simple_loss + pruned_loss
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
+    return loss, grads
+
+
+def main():
+    dev = jax.devices()[0]
+    inputs = make_inputs()
+    fn = jax.jit(step_fn)
+
+    for _ in range(WARMUP):
+        out = fn(*inputs)
+        # device_get forces true completion (block_until_ready alone can
+        # return early through remote-device tunnels)
+        float(jax.device_get(out[0]))
+
+    # amortized timing: ITERS dispatches, one synchronizing fetch at the end
+    # (per-device execution is serial, so this measures real step time)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*inputs)
+    float(jax.device_get(out[0]))
+    jax.block_until_ready(out)
+    avg_s = (time.perf_counter() - t0) / ITERS
+    times = [avg_s]
+    avg_us = float(avg_s * 1e6)
+
+    stats = dev.memory_stats() or {}
+    peak_mb = stats.get("peak_bytes_in_use", 0) / (1024 * 1024)
+
+    # audio throughput: benchmark frames are 4x-subsampled 10 ms hops
+    audio_seconds = float(np.asarray(inputs[3])[:, 3].sum()) * 0.04
+    result = {
+        "metric": "pruned_rnnt_train_step",
+        "value": round(avg_us, 1),
+        "unit": "us",
+        "vs_baseline": round(BASELINE_US / avg_us, 3),
+        "peak_hbm_mb": round(peak_mb, 1),
+        "peak_hbm_vs_baseline": round(BASELINE_MB / peak_mb, 3) if peak_mb else None,
+        "audio_seconds_per_s": round(audio_seconds / np.mean(times), 1),
+        "device": str(dev),
+        "workload": {"B": B, "T": T, "S": S, "C": C, "s_range": S_RANGE},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+from .training import (
+    LossConfig,
+    init_model,
+    make_boundary,
+    make_train_step,
+    pruned_transducer_loss,
+)
+from .transducer import (
+    Encoder,
+    Joiner,
+    Predictor,
+    PrunedTransducer,
+    TransducerConfig,
+)
+
+__all__ = [
+    "Encoder",
+    "Joiner",
+    "LossConfig",
+    "Predictor",
+    "PrunedTransducer",
+    "TransducerConfig",
+    "init_model",
+    "make_boundary",
+    "make_train_step",
+    "pruned_transducer_loss",
+]

@@ -190,12 +190,37 @@ def roll_by_shifts(src: jax.Array, shifts: jax.Array) -> jax.Array:
     """Per-(b, t) circular right-roll of the last dim by ``shifts[b, t]``.
 
     Equivalent to ``_roll_by_shifts`` (rnnt_loss.py:814-851): a modular
-    index gather, which XLA lowers to a single take_along_axis.
+    index gather.  NOTE: per-row gathers lower to very slow TPU code (~40 ms
+    on the benchmark shape); the pruned lattice construction uses
+    :func:`scatter_window` instead, which is gather-free.  This function is
+    kept for API parity.
     """
     B, T, S = src.shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, T, S), 2)
     idx = (idx - shifts[:, :, None].astype(jnp.int32)) % S
     return jnp.take_along_axis(src, idx, axis=2)
+
+
+def scatter_window(
+    win: jax.Array, shifts: jax.Array, out_width: int, fill: float = NEG_INF
+) -> jax.Array:
+    """Place each (b, t) window ``win[b, t, :]`` at offset ``shifts[b, t]``
+    in a ``fill``-initialized row of ``out_width``:
+
+        out[b, t, shifts[b,t] + k] = win[b, t, k];  out elsewhere = fill.
+
+    Equivalent to the reference's pad-then-roll idiom
+    (rnnt_loss.py:967-1011) whenever ``shifts + K <= out_width`` (always
+    true for valid pruning ranges), but implemented as K vectorized selects
+    — no per-row gather, so it runs at HBM bandwidth on TPU.
+    """
+    B, T, K = win.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, T, out_width), 2)
+    rel = j - shifts[:, :, None].astype(jnp.int32)
+    out = jax.lax.full_like(win, fill, shape=(B, T, out_width))
+    for k in range(K):
+        out = jnp.where(rel == k, win[:, :, k : k + 1], out)
+    return out
 
 
 def get_rnnt_logprobs_pruned(
@@ -233,10 +258,8 @@ def get_rnnt_logprobs_pruned(
 
     px = jnp.take_along_axis(logits, pruned_symbols[:, :, :, None], axis=3)[..., 0]
     px = px - normalizers  # [B, T, s_range]
-    px = jnp.concatenate(
-        [px, jnp.full((B, T, S + 1 - s_range), NEG_INF, dtype=px.dtype)], axis=2
-    )  # [B, T, S+1]
-    px = roll_by_shifts(px, ranges[:, :, 0])[:, :, :S]  # absolute s positions
+    # place each frame's window at its absolute symbol offset, -inf elsewhere
+    px = scatter_window(px, ranges[:, :, 0], S + 1)[:, :, :S]  # [B, T, S]
     px = jnp.swapaxes(px, 1, 2)  # [B, S, T]
     if rnnt_type == "regular":
         px = jnp.concatenate(
@@ -244,10 +267,7 @@ def get_rnnt_logprobs_pruned(
         )
 
     py = logits[:, :, :, termination_symbol] - normalizers  # [B, T, s_range]
-    py = jnp.concatenate(
-        [py, jnp.full((B, T, S + 1 - s_range), NEG_INF, dtype=py.dtype)], axis=2
-    )  # [B, T, S+1]
-    py = roll_by_shifts(py, ranges[:, :, 0])
+    py = scatter_window(py, ranges[:, :, 0], S + 1)  # [B, T, S+1]
     py = jnp.swapaxes(py, 1, 2)  # [B, S+1, T]
 
     if rnnt_type == "regular":
