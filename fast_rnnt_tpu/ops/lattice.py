@@ -251,12 +251,35 @@ def get_rnnt_logprobs_pruned(
         ],
         axis=1,
     )  # [B, S+1]
-    # pruned_symbols[b, t, k] = symbols_with_terminal[b, ranges[b, t, k]]
-    pruned_symbols = jnp.take_along_axis(
-        symbols_with_terminal[:, None, :], ranges.astype(jnp.int32), axis=2
+    # pruned_symbols[b, t, k] = symbols_with_terminal[b, ranges[b, t, k]],
+    # via a one-hot matmul (per-row gathers lower very slowly on TPU; exact
+    # for symbol ids < 2^24 in fp32).
+    ranges_onehot = (
+        ranges.astype(jnp.int32)[:, :, :, None]
+        == jnp.arange(S + 1, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [B, T, s_range, S+1]
+    pruned_symbols = (
+        jnp.einsum(
+            "btks,bs->btk",
+            ranges_onehot,
+            symbols_with_terminal.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        .round()
+        .astype(jnp.int32)
     )  # [B, T, s_range]
 
-    px = jnp.take_along_axis(logits, pruned_symbols[:, :, :, None], axis=3)[..., 0]
+    # px[b,t,k] = logits[b,t,k,pruned_symbols[b,t,k]]: fused compare+reduce
+    # over C instead of a gather.
+    px = jnp.sum(
+        jnp.where(
+            pruned_symbols[:, :, :, None]
+            == jnp.arange(C, dtype=jnp.int32),
+            logits,
+            0.0,
+        ),
+        axis=3,
+    )
     px = px - normalizers  # [B, T, s_range]
     # place each frame's window at its absolute symbol offset, -inf elsewhere
     px = scatter_window(px, ranges[:, :, 0], S + 1)[:, :, :S]  # [B, T, S]

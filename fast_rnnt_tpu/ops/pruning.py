@@ -117,10 +117,15 @@ def do_rnnt_pruning(
     (equivalent to rnnt_loss.py:763-812).
     """
     B, T, s_range = ranges.shape
-    C = lm.shape[2]
+    S1, C = lm.shape[1], lm.shape[2]
     am_pruned = jnp.broadcast_to(am[:, :, None, :], (B, T, s_range, C))
-    # lm_pruned[b, t, k, :] = lm[b, ranges[b, t, k], :]
-    lm_pruned = jnp.take_along_axis(
-        lm[:, None, :, :], ranges[:, :, :, None].astype(jnp.int32), axis=2
+    # lm_pruned[b, t, k, :] = lm[b, ranges[b, t, k], :].  Formulated as a
+    # one-hot matmul instead of a per-row gather: XLA's general gather is
+    # ~15x slower than this MXU einsum on TPU for the benchmark shape.
+    onehot = (
+        ranges[:, :, :, None] == jnp.arange(S1, dtype=ranges.dtype)
+    ).astype(lm.dtype)  # (B, T, K, S1)
+    lm_pruned = jnp.einsum(
+        "btks,bsc->btkc", onehot, lm, preferred_element_type=jnp.float32
     )
     return am_pruned, lm_pruned
