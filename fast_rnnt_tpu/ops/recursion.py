@@ -232,7 +232,7 @@ def _backward_lattice_xla(
 # -----------------------------------------------------------------------------
 
 _IMPL = {"xla": (_forward_lattice_xla, _backward_lattice_xla)}
-_DEFAULT_IMPL = "xla"
+_DEFAULT_IMPL: Optional[str] = None  # resolved lazily (backend-dependent)
 
 
 def register_impl(name, forward_fn, backward_fn, default: bool = False):
@@ -244,9 +244,34 @@ def register_impl(name, forward_fn, backward_fn, default: bool = False):
         _DEFAULT_IMPL = name
 
 
+def _resolve_default() -> str:
+    """Pick the default implementation for this process: the Pallas row-scan
+    kernels on TPU backends, the pure-XLA associative-scan core elsewhere.
+
+    NOTE for GSPMD users: under plain `jit` with sharded inputs prefer
+    impl="xla" (a pallas_call is an opaque unit to the partitioner); the
+    shard_map wrappers in parallel/sharding.py compose with "pallas"."""
+    global _DEFAULT_IMPL
+    if _DEFAULT_IMPL is None:
+        impl = "xla"
+        try:
+            dev = jax.devices()[0]
+            if "tpu" in dev.platform.lower() or "TPU" in getattr(
+                dev, "device_kind", ""
+            ):
+                from .kernels import register as _register_pallas
+
+                _register_pallas(default=False)
+                impl = "pallas"
+        except Exception:  # no backend / kernels unavailable -> pure XLA
+            impl = "xla"
+        _DEFAULT_IMPL = impl
+    return _DEFAULT_IMPL
+
+
 def _get_impl(impl: Optional[str]):
     if impl is None or impl == "auto":
-        impl = _DEFAULT_IMPL
+        impl = _resolve_default()
     return _IMPL[impl]
 
 

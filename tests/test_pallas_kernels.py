@@ -1,0 +1,90 @@
+"""Pallas wavefront-kernel parity tests (interpreter mode on CPU — the
+TPU-compiled path is exercised by bench.py and the TPU drive scripts).
+
+Interpreter-mode runs double as the sanitizer pass: they catch OOB reads
+the way compute-sanitizer would for the reference CUDA kernels
+(SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_rnnt_tpu import mutual_information_recursion
+from fast_rnnt_tpu.ops.kernels import register
+
+from .oracle import mi_loop
+from .test_recursion import _random_boundary, _random_pxpy
+
+register(default=False, interpret=True)
+
+
+@pytest.mark.parametrize("modified", [False, True])
+@pytest.mark.parametrize("ragged", [False, True])
+def test_pallas_matches_oracle(modified, ragged):
+    rng = np.random.default_rng(42)
+    B, S, T = 3, 4, 9
+    px, py = _random_pxpy(rng, B, S, T, modified=modified)
+    boundary = _random_boundary(rng, B, S, T, ragged=ragged)
+
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(px, py, boundary)
+    scores, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px),
+        jnp.asarray(py),
+        jnp.asarray(boundary),
+        calc_gradients=True,
+        impl="pallas",
+    )
+    np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_matches_xla_impl():
+    rng = np.random.default_rng(7)
+    B, S, T = 5, 6, 12
+    px, py = _random_pxpy(rng, B, S, T, neg_inf_frac=0.2)
+    boundary = _random_boundary(rng, B, S, T)
+    a = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        calc_gradients=True, impl="xla",
+    )
+    b = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        calc_gradients=True, impl="pallas",
+    )
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(a[1][0], b[1][0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a[1][1], b[1][1], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_grad_composes():
+    rng = np.random.default_rng(9)
+    B, S, T = 2, 3, 6
+    px, py = _random_pxpy(rng, B, S, T)
+    b = jnp.asarray(_random_boundary(rng, B, S, T))
+
+    def total(px, py):
+        return mutual_information_recursion(px, py, b, impl="pallas").sum()
+
+    gx, gy = jax.grad(total, argnums=(0, 1))(jnp.asarray(px), jnp.asarray(py))
+    _, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), b, calc_gradients=True, impl="pallas"
+    )
+    np.testing.assert_allclose(gx, pxg, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gy, pyg, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_nonzero_begin():
+    rng = np.random.default_rng(11)
+    B, S, T = 2, 6, 10
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = np.array([[1, 2, 5, 9], [0, 0, 6, 10]], dtype=np.int32)
+    ref_scores, ref_pxg, ref_pyg, _ = mi_loop(px, py, boundary)
+    scores, (pxg, pyg) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        calc_gradients=True, impl="pallas",
+    )
+    np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
