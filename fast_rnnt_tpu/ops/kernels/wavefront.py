@@ -45,10 +45,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_USE_ROLL = True  # pltpu.roll (vector lane-rotate); False = concat fallback
+
+
 def _shift_right(x, d, fill):
     if d == 0:
         return x
     b, w = x.shape
+    if _USE_ROLL:
+        rolled = pltpu.roll(x, d, axis=1)
+        t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(t < d, fill, rolled)
     pad = jnp.full((b, d), fill, x.dtype)
     return jnp.concatenate([pad, x[:, : w - d]], axis=1)
 
@@ -57,6 +64,10 @@ def _shift_left(x, d, fill):
     if d == 0:
         return x
     b, w = x.shape
+    if _USE_ROLL:
+        rolled = pltpu.roll(x, w - d, axis=1)
+        t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(t >= w - d, fill, rolled)
     pad = jnp.full((b, d), fill, x.dtype)
     return jnp.concatenate([x[:, d:], pad], axis=1)
 
@@ -144,9 +155,10 @@ def _fwd_kernel(
 
 def forward_lattice_pallas(
     px: jax.Array, py: jax.Array, boundary: jax.Array, interpret: bool = False
-) -> Tuple[jax.Array, jax.Array]:
-    """Forward lattice on TPU.  Returns (p_internal, scores[B]); p_internal
-    is the (S+1, B_pad, T_pad+?) staging of p consumed by the backward."""
+) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Forward lattice on TPU.  Returns (res, scores[B]) where res =
+    (p_internal, px_staged, py_staged) — the (S+1, B_pad, T_pad) stagings
+    reused by the backward so px/py are masked/padded/transposed once."""
     B, S, T1 = px.shape
     T = py.shape[2]
     modified = T1 == T
@@ -203,7 +215,7 @@ def forward_lattice_pallas(
         interpret=interpret,
     )(sb, se, src, te1h, px_t, py_t)
 
-    return p_internal, scores_pad[:B, 0]
+    return (p_internal, px_t, py_t), scores_pad[:B, 0]
 
 
 # -----------------------------------------------------------------------------
@@ -255,29 +267,34 @@ def _bwd_kernel(
 def backward_lattice_pallas(
     px: jax.Array,
     py: jax.Array,
-    p_internal: jax.Array,
+    res,
     boundary: jax.Array,
     ans_grad: jax.Array,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Occupancy/backward lattice on TPU; consumes the staged p from
+    """Occupancy/backward lattice on TPU; consumes the staged residuals from
     forward_lattice_pallas.  Returns (px_grad, py_grad) in public layout."""
     B, S, T1 = px.shape
     T = py.shape[2]
     modified = T1 == T
 
-    px, py = _apply_boundary_mask(px, py, boundary, modified)
+    if isinstance(res, tuple):
+        p_internal, px_t, py_t = res
+    else:  # direct call with a bare p staging: restage px/py here
+        p_internal = res
+        px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
+        _, Bp0, Tp10 = p_internal.shape
+        px_t = jnp.full((S, Bp0, Tp10), NEG_INF, px.dtype).at[:, :B, :T1].set(
+            jnp.moveaxis(px_m, 1, 0)
+        )
+        py_t = jnp.full((S + 1, Bp0, Tp10), NEG_INF, py.dtype).at[:, :B, :T].set(
+            jnp.moveaxis(py_m, 1, 0)
+        )
 
     S1p, Bp, Tp1 = p_internal.shape
     bblk = min(Bp, 4 * SUBLANE)
 
     dt = px.dtype
-    px_t = jnp.full((S, Bp, Tp1), NEG_INF, dt).at[:, :B, :T1].set(
-        jnp.moveaxis(px, 1, 0)
-    )
-    py_t = jnp.full((S + 1, Bp, Tp1), NEG_INF, dt).at[:, :B, :T].set(
-        jnp.moveaxis(py, 1, 0)
-    )
     se = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 2:3].astype(jnp.int32))
     te = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 3:4].astype(jnp.int32))
     t_iota = jnp.arange(Tp1, dtype=jnp.int32)[None, :]

@@ -48,6 +48,46 @@ def _check_rnnt_type(rnnt_type: str) -> None:
         raise ValueError(f"rnnt_type must be one of {RNNT_TYPES}, got {rnnt_type!r}")
 
 
+# The fused rowwise Pallas kernel (kernels/rowwise.py) reads the logits
+# once, but on v5e the XLA-fused compare+reduce path still wins (XLA fuses
+# the joiner add into its reductions; the unaligned vocab dim and the
+# (N, 1) output layout cost the kernel more than the saved passes), so it
+# is OFF by default.  Set True to experiment (e.g. large vocabs).
+_FUSED_ROWWISE: Optional[bool] = False
+
+
+def _use_fused_rowwise() -> bool:
+    if _FUSED_ROWWISE is not None:
+        return _FUSED_ROWWISE
+    from .recursion import _resolve_default
+
+    return _resolve_default() == "pallas"
+
+
+def _symbol_onehot(symbols: jax.Array, C: int, dtype) -> jax.Array:
+    """One-hot of the symbol ids, [B, S, C].  Gather-free building block:
+    per-row gathers lower to very slow TPU code, while one-hot einsums ride
+    the MXU (and transpose to einsums in the backward)."""
+    return (
+        symbols.astype(jnp.int32)[:, :, None] == jnp.arange(C, dtype=jnp.int32)
+    ).astype(dtype)
+
+
+def _gather_am_symbols(am: jax.Array, symbols: jax.Array) -> jax.Array:
+    """px_am[b, s, t] = am[b, t, symbols[b, s]] as a one-hot MXU einsum."""
+    onehot = _symbol_onehot(symbols, am.shape[2], am.dtype)  # [B, S, C]
+    return jnp.einsum(
+        "bsc,btc->bst", onehot, am, preferred_element_type=jnp.float32
+    )
+
+
+def _gather_lm_symbols(lm: jax.Array, symbols: jax.Array) -> jax.Array:
+    """px_lm[b, s] = lm[b, s, symbols[b, s]] as a masked reduction."""
+    S = symbols.shape[1]
+    onehot = _symbol_onehot(symbols, lm.shape[2], lm.dtype)  # [B, S, C]
+    return jnp.sum(lm[:, :S, :] * onehot, axis=2, keepdims=True)  # [B, S, 1]
+
+
 def fix_for_boundary(px: jax.Array, boundary: Optional[jax.Array] = None) -> jax.Array:
     """Set ``px[b, :, boundary[b, 3]] = -inf`` (regular rnnt_type only).
 
@@ -105,16 +145,12 @@ def get_rnnt_logprobs(
     )
     normalizers = normalizers + lm_max + jnp.swapaxes(am_max, 1, 2)  # [B, S+1, T]
 
-    # px_am[b, s, t] = am[b, t, symbols[b, s]]
-    px_am = jnp.take_along_axis(
-        jnp.swapaxes(am, 1, 2), symbols[:, :, None], axis=1
-    )  # [B, S, T]
+    px_am = _gather_am_symbols(am, symbols)  # [B, S, T]
     if rnnt_type == "regular":
         px_am = jnp.concatenate(
             [px_am, jnp.full((B, S, 1), NEG_INF, dtype=px_am.dtype)], axis=2
         )  # [B, S, T+1]
-    # px_lm[b, s] = lm[b, s, symbols[b, s]]
-    px_lm = jnp.take_along_axis(lm[:, :S, :], symbols[:, :, None], axis=2)  # [B,S,1]
+    px_lm = _gather_lm_symbols(lm, symbols)  # [B, S, 1]
     px = px_am + px_lm
     px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
 
@@ -160,24 +196,48 @@ def get_rnnt_logprobs_joint(
     B, T, S1, C = logits.shape
     S = S1 - 1
 
-    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, S+1]
-    normalizers = jnp.swapaxes(normalizers, 1, 2)  # [B, S+1, T]
+    if _use_fused_rowwise():
+        from .kernels.rowwise import rowwise_logprobs
 
-    # px[b, t, s] = logits[b, t, s, symbols[b, s]]
-    px = jnp.take_along_axis(
-        logits[:, :, :S, :],
-        jnp.broadcast_to(symbols[:, None, :, None], (B, T, S, 1)),
-        axis=3,
-    )[..., 0]  # [B, T, S]
-    px = jnp.swapaxes(px, 1, 2)  # [B, S, T]
-    if rnnt_type == "regular":
-        px = jnp.concatenate(
-            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+        sym_rows = jnp.broadcast_to(
+            jnp.concatenate(
+                [
+                    symbols.astype(jnp.int32),
+                    jnp.full((B, 1), termination_symbol, jnp.int32),
+                ],
+                axis=1,
+            )[:, None, :],
+            (B, T, S1),
         )
-    px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
+        px_f, py_f = rowwise_logprobs(
+            logits.reshape(-1, C), sym_rows.reshape(-1), int(termination_symbol)
+        )
+        px = jnp.swapaxes(px_f.reshape(B, T, S1), 1, 2)[:, :S, :]  # [B, S, T]
+        py = jnp.swapaxes(py_f.reshape(B, T, S1), 1, 2)  # [B, S+1, T]
+        if rnnt_type == "regular":
+            px = jnp.concatenate(
+                [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+            )
+    else:
+        normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, S+1]
+        normalizers = jnp.swapaxes(normalizers, 1, 2)  # [B, S+1, T]
 
-    py = jnp.swapaxes(logits[:, :, :, termination_symbol], 1, 2)  # [B, S+1, T]
-    py = py - normalizers
+        # px[b, t, s] = logits[b, t, s, symbols[b, s]]: fused compare+reduce
+        sym_onehot = _symbol_onehot(symbols, C, logits.dtype)  # [B, S, C]
+        px = jnp.einsum(
+            "btsc,bsc->bst",
+            logits[:, :, :S, :],
+            sym_onehot,
+            preferred_element_type=jnp.float32,
+        )  # [B, S, T]
+        if rnnt_type == "regular":
+            px = jnp.concatenate(
+                [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+            )
+        px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
+
+        py = jnp.swapaxes(logits[:, :, :, termination_symbol], 1, 2)  # [B, S+1, T]
+        py = py - normalizers
 
     if rnnt_type == "regular":
         px = fix_for_boundary(px, boundary)
@@ -242,8 +302,6 @@ def get_rnnt_logprobs_pruned(
     B, T, s_range, C = logits.shape
     S = symbols.shape[1]
 
-    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, s_range]
-
     symbols_with_terminal = jnp.concatenate(
         [
             symbols.astype(jnp.int32),
@@ -269,18 +327,34 @@ def get_rnnt_logprobs_pruned(
         .astype(jnp.int32)
     )  # [B, T, s_range]
 
-    # px[b,t,k] = logits[b,t,k,pruned_symbols[b,t,k]]: fused compare+reduce
-    # over C instead of a gather.
-    px = jnp.sum(
-        jnp.where(
-            pruned_symbols[:, :, :, None]
-            == jnp.arange(C, dtype=jnp.int32),
-            logits,
-            0.0,
-        ),
-        axis=3,
-    )
-    px = px - normalizers  # [B, T, s_range]
+    # px[b,t,k] = logits[b,t,k,sym] - lse;  py = logits[b,t,k,blank] - lse.
+    # On TPU: single-pass fused Pallas kernel; elsewhere: fused compare+
+    # reduce + logsumexp in XLA.
+    if _use_fused_rowwise():
+        from .kernels.rowwise import rowwise_logprobs
+
+        px_f, py_f = rowwise_logprobs(
+            logits.reshape(-1, C),
+            pruned_symbols.reshape(-1),
+            int(termination_symbol),
+        )
+        px = px_f.reshape(B, T, s_range)
+        py_band = py_f.reshape(B, T, s_range)
+    else:
+        normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, s_range]
+        px = (
+            jnp.sum(
+                jnp.where(
+                    pruned_symbols[:, :, :, None]
+                    == jnp.arange(C, dtype=jnp.int32),
+                    logits,
+                    0.0,
+                ),
+                axis=3,
+            )
+            - normalizers
+        )
+        py_band = logits[:, :, :, termination_symbol] - normalizers
     # place each frame's window at its absolute symbol offset, -inf elsewhere
     px = scatter_window(px, ranges[:, :, 0], S + 1)[:, :, :S]  # [B, T, S]
     px = jnp.swapaxes(px, 1, 2)  # [B, S, T]
@@ -289,8 +363,7 @@ def get_rnnt_logprobs_pruned(
             [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
         )
 
-    py = logits[:, :, :, termination_symbol] - normalizers  # [B, T, s_range]
-    py = scatter_window(py, ranges[:, :, 0], S + 1)  # [B, T, S+1]
+    py = scatter_window(py_band, ranges[:, :, 0], S + 1)  # [B, T, S+1]
     py = jnp.swapaxes(py, 1, 2)  # [B, S+1, T]
 
     if rnnt_type == "regular":
@@ -357,16 +430,15 @@ def get_rnnt_logprobs_smoothed(
     unigram_lm = jnp.log(unigram_lm)
     lmonly_normalizers = jnp.log(lmonly_normalizers) + lm_max  # [B, S+1, 1]
 
-    px_am = jnp.take_along_axis(
-        jnp.swapaxes(am, 1, 2), symbols[:, :, None], axis=1
-    )  # [B, S, T]
+    px_am = _gather_am_symbols(am, symbols)  # [B, S, T]
     if rnnt_type == "regular":
         px_am = jnp.concatenate(
             [px_am, jnp.full((B, S, 1), NEG_INF, dtype=px_am.dtype)], axis=2
         )
-    px_lm = jnp.take_along_axis(lm[:, :S, :], symbols[:, :, None], axis=2)  # [B,S,1]
-    px_lm_unigram = jnp.take_along_axis(
-        jnp.broadcast_to(unigram_lm, (B, S, C)), symbols[:, :, None], axis=2
+    px_lm = _gather_lm_symbols(lm, symbols)  # [B, S, 1]
+    sym_onehot = _symbol_onehot(symbols, C, lm.dtype)  # [B, S, C]
+    px_lm_unigram = jnp.sum(
+        unigram_lm * sym_onehot, axis=2, keepdims=True
     )  # [B, S, 1]
 
     px = px_am + px_lm
