@@ -1,0 +1,127 @@
+"""Benchmark + parity harness.
+
+Reproduces the transducer-loss-benchmarking comparison the reference's
+README cites (/root/reference/README.md:156-169; baselines in BASELINE.md)
+on the current device, for both the pruned pipeline (38,112 µs baseline)
+and the unpruned full-joiner loss (274,407 µs baseline), plus throughput
+(audio-seconds/s) and a parity check against the native C++ oracle.
+
+  python benchmarks/harness.py            # full report (JSON)
+  python benchmarks/harness.py --quick    # smaller shapes
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fast_rnnt_tpu as frt
+from fast_rnnt_tpu.utils import benchmark_fn, device_memory_stats
+
+BASE_PRUNED_US = 38112.0
+BASE_UNPRUNED_US = 274407.0
+
+
+def make_inputs(B, T, S, C, seed=0):
+    rng = np.random.default_rng(seed)
+    am = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, C)).astype(np.float32))
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    t_end = np.clip(rng.integers(T // 2, T + 1, size=B), S + 2, T).astype(np.int32)
+    s_end = np.clip(rng.integers(S // 2, S + 1, size=B), 2, S).astype(np.int32)
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B, np.int32), np.zeros(B, np.int32), s_end, t_end], axis=1)
+    )
+    return am, lm, symbols, boundary
+
+
+def pruned_step(am, lm, symbols, boundary, s_range):
+    def loss_fn(am, lm):
+        simple, (gx, gy) = frt.rnnt_loss_simple(
+            lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
+        )
+        ranges = frt.get_rnnt_prune_ranges(gx, gy, boundary, s_range)
+        ap, lp = frt.do_rnnt_pruning(am, lm, ranges)
+        pruned = frt.rnnt_loss_pruned(
+            ap + lp, symbols, ranges, 0, boundary, reduction="sum"
+        )
+        return 0.5 * simple + pruned
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
+
+
+def unpruned_step(am, lm, symbols, boundary):
+    def loss_fn(am, lm):
+        logits = lm[:, None, :, :] + am[:, :, None, :]
+        return frt.rnnt_loss(logits, symbols, 0, boundary, reduction="sum")
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
+
+
+def parity_check(B=2, T=16, S=6, C=12, seed=1234):
+    """Loss + occupancy parity vs the native C++ oracle (fp32)."""
+    from fast_rnnt_tpu.csrc import mi_backward_cpu, mi_forward_cpu
+
+    am, lm, symbols, boundary = make_inputs(B, T, S, C, seed)
+    px, py = frt.get_rnnt_logprobs(lm, am, symbols, 0, "regular", boundary)
+    scores, (gx, gy) = frt.mutual_information_recursion(
+        px, py, boundary, calc_gradients=True
+    )
+    p_c, scores_c = mi_forward_cpu(np.asarray(px), np.asarray(py), np.asarray(boundary))
+    gx_c, gy_c = mi_backward_cpu(
+        np.asarray(px), np.asarray(py), p_c, np.asarray(boundary),
+        np.ones(B, np.float32),
+    )
+    return {
+        "scores_max_abs_err": float(np.abs(np.asarray(scores) - scores_c).max()),
+        "px_grad_max_abs_err": float(np.abs(np.asarray(gx) - gx_c).max()),
+        "py_grad_max_abs_err": float(np.abs(np.asarray(gy) - gy_c).max()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.quick:
+        B, T, S, C = 8, 200, 40, 500  # BASELINE config #3 scale
+    else:
+        B, T, S, C = 30, 1000, 100, 500  # benchmark config #4
+    s_range = 5
+
+    am, lm, symbols, boundary = make_inputs(B, T, S, C)
+    audio_seconds = float(np.asarray(boundary)[:, 3].sum()) * 0.04
+
+    report = {
+        "device": str(jax.devices()[0]),
+        "workload": {"B": B, "T": T, "S": S, "C": C, "s_range": s_range},
+        "parity_vs_cpp_oracle": parity_check(),
+    }
+
+    f_pruned = jax.jit(lambda am, lm: pruned_step(am, lm, symbols, boundary, s_range))
+    dt = benchmark_fn(f_pruned, am, lm, iters=args.iters)
+    report["pruned_step_us"] = round(dt * 1e6, 1)
+    report["pruned_vs_baseline"] = round(BASE_PRUNED_US / (dt * 1e6), 3)
+    report["pruned_audio_seconds_per_s"] = round(audio_seconds / dt, 1)
+
+    f_unpruned = jax.jit(lambda am, lm: unpruned_step(am, lm, symbols, boundary))
+    dt_u = benchmark_fn(f_unpruned, am, lm, iters=max(args.iters // 4, 3))
+    report["unpruned_step_us"] = round(dt_u * 1e6, 1)
+    report["unpruned_vs_baseline"] = round(BASE_UNPRUNED_US / (dt_u * 1e6), 3)
+
+    report["memory"] = device_memory_stats()
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from .lattice import (
     get_rnnt_logprobs_smoothed,
 )
 from .recursion import mutual_information_recursion
+from ..utils.validation import check_rnnt_inputs
 
 __all__ = [
     "rnnt_loss_simple",
@@ -96,6 +97,10 @@ def rnnt_loss_simple(
     Returns loss of shape [B] for reduction "none", else a scalar; a tuple
     ``(loss, (px_grad, py_grad))`` when ``calc_gradients``.
     """
+    check_rnnt_inputs(
+        lm=lm, am=am, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary,
+    )
     px, py = get_rnnt_logprobs(
         lm=lm,
         am=am,
@@ -129,6 +134,10 @@ def rnnt_loss(
 
     Equivalent to rnnt_loss.py:454-551.
     """
+    check_rnnt_inputs(
+        logits=logits, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary,
+    )
     px, py = get_rnnt_logprobs_joint(
         logits=logits,
         symbols=symbols,
@@ -164,6 +173,10 @@ def rnnt_loss_pruned(
     Fully differentiable w.r.t. ``logits`` through the px/py construction
     plus the recursion's custom VJP.
     """
+    check_rnnt_inputs(
+        logits=logits, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary, ranges=ranges,
+    )
     px, py = get_rnnt_logprobs_pruned(
         logits=logits,
         symbols=symbols,
@@ -197,6 +210,10 @@ def rnnt_loss_smoothed(
 
     Equivalent to rnnt_loss.py:1369-1494.
     """
+    check_rnnt_inputs(
+        lm=lm, am=am, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary,
+    )
     px, py = get_rnnt_logprobs_smoothed(
         lm=lm,
         am=am,
