@@ -47,10 +47,13 @@ def step_fn(am, lm, symbols, boundary):
             lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
         )
         ranges = frt.get_rnnt_prune_ranges(px_grad, py_grad, boundary, S_RANGE)
-        am_p, lm_p = frt.do_rnnt_pruning(am, lm, ranges)
-        logits = am_p + lm_p  # additive joiner, as in the benchmark workload
-        pruned_loss = frt.rnnt_loss_pruned(
-            logits, symbols, ranges, 0, boundary, reduction="sum"
+        # The benchmark workload's joiner is additive (logits = am_p + lm_p),
+        # so the band-native fast path applies: numerically equal to
+        # do_rnnt_pruning -> rnnt_loss_pruned(am_p + lm_p, ...) (parity-
+        # tested in tests/test_losses.py) but never materializes the
+        # [B, T, s_range, C] logits.
+        pruned_loss = frt.rnnt_loss_pruned_simple(
+            lm, am, symbols, ranges, 0, boundary, reduction="sum"
         )
         return 0.5 * simple_loss + pruned_loss
 

@@ -17,12 +17,14 @@ from .ops.lattice import (
     get_rnnt_logprobs,
     get_rnnt_logprobs_joint,
     get_rnnt_logprobs_pruned,
+    get_rnnt_logprobs_pruned_simple,
     get_rnnt_logprobs_smoothed,
     roll_by_shifts,
 )
 from .ops.losses import (
     rnnt_loss,
     rnnt_loss_pruned,
+    rnnt_loss_pruned_simple,
     rnnt_loss_simple,
     rnnt_loss_smoothed,
 )
@@ -52,6 +54,7 @@ __all__ = [
     "get_rnnt_logprobs",
     "get_rnnt_logprobs_joint",
     "get_rnnt_logprobs_pruned",
+    "get_rnnt_logprobs_pruned_simple",
     "get_rnnt_logprobs_smoothed",
     "roll_by_shifts",
     # pruning pipeline
@@ -63,4 +66,5 @@ __all__ = [
     "rnnt_loss_smoothed",
     "rnnt_loss",
     "rnnt_loss_pruned",
+    "rnnt_loss_pruned_simple",
 ]

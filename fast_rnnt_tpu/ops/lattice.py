@@ -42,6 +42,26 @@ RNNT_TYPES = ("regular", "modified", "constrained")
 # Only distinguishable when the inner product underflows below 1e-38.
 _TINY = float(np.finfo(np.float32).tiny)
 
+# MXU precision for the lattice einsums (normalizer matmuls and one-hot
+# gathers).  The TPU MXU multiplies fp32 as bf16 passes: DEFAULT (1 pass)
+# puts ~4e-3 error on the normalizer logs — visible next to the ~1e-3
+# fp32 noise floor of the whole pipeline — while HIGHEST (fp32-faithful)
+# reproduces the reference's full-fp32 GPU numerics (log error ~2e-7) and
+# costs ~5% of the benchmark step.  HIGH (3 passes, ~5e-5) is a sensible
+# production setting via set_matmul_precision("high").
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(precision) -> None:
+    """Set the MXU precision for lattice einsums: "default" | "high" |
+    "highest" (or a jax.lax.Precision).  Takes effect at next trace."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = jax.lax.Precision(precision)
+
+
+def matmul_precision() -> jax.lax.Precision:
+    return _MATMUL_PRECISION
+
 
 def _check_rnnt_type(rnnt_type: str) -> None:
     if rnnt_type not in RNNT_TYPES:
@@ -77,7 +97,8 @@ def _gather_am_symbols(am: jax.Array, symbols: jax.Array) -> jax.Array:
     """px_am[b, s, t] = am[b, t, symbols[b, s]] as a one-hot MXU einsum."""
     onehot = _symbol_onehot(symbols, am.shape[2], am.dtype)  # [B, S, C]
     return jnp.einsum(
-        "bsc,btc->bst", onehot, am, preferred_element_type=jnp.float32
+        "bsc,btc->bst", onehot, am, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
     )
 
 
@@ -139,7 +160,8 @@ def get_rnnt_logprobs(
     lm_probs = jnp.exp(lm - lm_max)
     normalizers = jnp.log(
         jnp.einsum(
-            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32
+            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
         )
         + _TINY
     )
@@ -229,6 +251,7 @@ def get_rnnt_logprobs_joint(
             logits[:, :, :S, :],
             sym_onehot,
             preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
         )  # [B, S, T]
         if rnnt_type == "regular":
             px = jnp.concatenate(
@@ -322,6 +345,7 @@ def get_rnnt_logprobs_pruned(
             ranges_onehot,
             symbols_with_terminal.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
         )
         .round()
         .astype(jnp.int32)
@@ -373,6 +397,77 @@ def get_rnnt_logprobs_pruned(
     return px, py
 
 
+def get_rnnt_logprobs_pruned_simple(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    ranges: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """(px, py) of the pruned ADDITIVE-joiner loss, built band-natively.
+
+    TPU-native extension (no reference equivalent): when the joiner is
+    ``logits = am_pruned + lm_pruned`` (the rnnt_loss_simple joiner), the
+    pruned lattice is EXACTLY the simple lattice masked to the pruning band:
+
+        px_pruned[b,s,t] = px_simple[b,s,t]  if ranges[b,t,0] <= s < ranges[b,t,0]+K
+                           -inf              otherwise          (same for py)
+
+    because lm_pruned[b,t,k] = lm[b, ranges[b,t,k]] lands back at absolute
+    row s = ranges[b,t,k] after the un-shift, and the joint normalizer
+    factorizes through the same [S+1,C]x[C,T] matmul as the simple loss
+    (rnnt_loss.py:175-186).  So instead of materializing the [B,T,K,C]
+    pruned logits (the reference pipeline: do_rnnt_pruning ->
+    get_rnnt_logprobs_pruned, rnnt_loss.py:763-1020 — ~1 GB of HBM traffic
+    at the benchmark shape), everything stays in [B,S+1,T] tensors.
+
+    Numerically equal (fp32 round-off) to
+    ``get_rnnt_logprobs_pruned(am_p + lm_p, symbols, ranges, ...)`` with
+    ``am_p, lm_p = do_rnnt_pruning(am, lm, ranges)``.
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+    K = ranges.shape[2]
+
+    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
+    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    am_probs = jnp.exp(am - am_max)
+    lm_probs = jnp.exp(lm - lm_max)
+    normalizers = jnp.log(
+        jnp.einsum(
+            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+        )
+        + _TINY
+    )
+    normalizers = normalizers + lm_max + jnp.swapaxes(am_max, 1, 2)  # [B, S+1, T]
+
+    px = _gather_am_symbols(am, symbols) + _gather_lm_symbols(lm, symbols)
+    px = px - normalizers[:, :S, :]  # [B, S, T]
+    py_am = am[:, :, termination_symbol][:, None, :]  # [B, 1, T]
+    py_lm = lm[:, :, termination_symbol][:, :, None]  # [B, S+1, 1]
+    py = py_am + py_lm - normalizers  # [B, S+1, T]
+
+    # band masks: s in [ranges[b,t,0], ranges[b,t,0]+K)
+    lo = ranges[:, :, 0].astype(jnp.int32)[:, None, :]  # [B, 1, T]
+    s_px = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    s_py = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1, 1), 1)
+    px = jnp.where((s_px >= lo) & (s_px < lo + K), px, NEG_INF)
+    py = jnp.where((s_py >= lo) & (s_py < lo + K), py, NEG_INF)
+
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+        )
+        px = fix_for_boundary(px, boundary)
+    elif rnnt_type == "constrained":
+        px = px + py[:, 1:, :]
+    return px, py
+
+
 def get_rnnt_logprobs_smoothed(
     lm: jax.Array,
     am: jax.Array,
@@ -402,7 +497,8 @@ def get_rnnt_logprobs_smoothed(
     lm_probs = jnp.exp(lm - lm_max)
     normalizers = jnp.log(
         jnp.einsum(
-            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32
+            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
         )
         + _TINY
     )
@@ -422,6 +518,7 @@ def get_rnnt_logprobs_smoothed(
                 am_probs,
                 unigram_lm[0, 0],
                 preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
             )
         )[:, :, None]
         + am_max

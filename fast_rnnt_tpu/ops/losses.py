@@ -26,6 +26,7 @@ from .lattice import (
     get_rnnt_logprobs,
     get_rnnt_logprobs_joint,
     get_rnnt_logprobs_pruned,
+    get_rnnt_logprobs_pruned_simple,
     get_rnnt_logprobs_smoothed,
 )
 from .recursion import mutual_information_recursion
@@ -35,6 +36,7 @@ __all__ = [
     "rnnt_loss_simple",
     "rnnt_loss",
     "rnnt_loss_pruned",
+    "rnnt_loss_pruned_simple",
     "rnnt_loss_smoothed",
 ]
 
@@ -179,6 +181,51 @@ def rnnt_loss_pruned(
     )
     px, py = get_rnnt_logprobs_pruned(
         logits=logits,
+        symbols=symbols,
+        ranges=ranges,
+        termination_symbol=termination_symbol,
+        boundary=boundary,
+        rnnt_type=rnnt_type,
+    )
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    negated_loss = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
+    )
+    return _reduce(negated_loss, reduction)
+
+
+def rnnt_loss_pruned_simple(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    ranges: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Pruned RNN-T loss for the ADDITIVE joiner, band-native.
+
+    TPU-native fast path with no reference equivalent: numerically equal to
+
+        am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+        rnnt_loss_pruned(am_p + lm_p, symbols, ranges, ...)
+
+    but never materializes the [B, T, s_range, C] pruned logits — the band
+    is masked directly in [B, S+1, T] lattice space (see
+    :func:`get_rnnt_logprobs_pruned_simple`), cutting ~1 GB of HBM traffic
+    per step at the benchmark shape.  Use :func:`rnnt_loss_pruned` when the
+    joiner is a real network.
+    """
+    check_rnnt_inputs(
+        lm=lm, am=am, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary, ranges=ranges,
+    )
+    px, py = get_rnnt_logprobs_pruned_simple(
+        lm=lm,
+        am=am,
         symbols=symbols,
         ranges=ranges,
         termination_symbol=termination_symbol,

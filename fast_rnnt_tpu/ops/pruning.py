@@ -20,6 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .lattice import matmul_precision
 from .recursion import monotonic_lower_bound
 
 __all__ = [
@@ -126,6 +127,7 @@ def do_rnnt_pruning(
         ranges[:, :, :, None] == jnp.arange(S1, dtype=ranges.dtype)
     ).astype(lm.dtype)  # (B, T, K, S1)
     lm_pruned = jnp.einsum(
-        "btks,bsc->btkc", onehot, lm, preferred_element_type=jnp.float32
+        "btks,bsc->btkc", onehot, lm, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
     )
     return am_pruned, lm_pruned

@@ -272,6 +272,17 @@ def _resolve_default() -> str:
 def _get_impl(impl: Optional[str]):
     if impl is None or impl == "auto":
         impl = _resolve_default()
+    if impl == "pallas" and impl not in _IMPL:
+        # lazy-register on explicit request (auto-resolution registers only
+        # on TPU backends)
+        from .kernels import register as _register_pallas
+
+        _register_pallas(default=False)
+    if impl not in _IMPL:
+        raise ValueError(
+            f"unknown mutual_information_recursion impl {impl!r}; "
+            f"registered: {sorted(_IMPL)}"
+        )
     return _IMPL[impl]
 
 

@@ -122,7 +122,14 @@ def benchmark_on_device(
     The loop body is made loop-variant (``perturb(i, *args)`` — by default a
     tiny i-scaled bump on the first float argument) so XLA cannot hoist it,
     and every output leaf's first element is folded into the carried
-    accumulator so nothing is dead-code-eliminated."""
+    accumulator so nothing is dead-code-eliminated.
+
+    Each dispatch also carries a LARGE fixed cost on tunneled devices
+    (~30 ms round-trip, independent of the program), so a single
+    total/iters estimate is still polluted.  We therefore time the same
+    program at ``iters`` and ``3*iters`` loop trips (trip count is a
+    runtime scalar — one compile) and report the slope
+    (t_3n - t_n) / (2n), which cancels every per-dispatch constant."""
     import jax.numpy as jnp
 
     def default_perturb(i, *a):
@@ -135,21 +142,30 @@ def benchmark_on_device(
 
     pert = perturb or default_perturb
 
-    def looped(*a):
+    def looped(n, *a):
         def body(i, acc):
             out = step(*pert(i, *a))
             for leaf in jax.tree_util.tree_leaves(out):
                 acc = acc + jnp.ravel(leaf)[0].astype(jnp.float32)
             return acc
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     f = jax.jit(looped)
-    float(jax.device_get(f(*args)))  # compile + warm
+    n1 = jnp.int32(iters)
+    n3 = jnp.int32(3 * iters)
+    float(jax.device_get(f(n1, *args)))  # compile + warm
+    float(jax.device_get(f(n3, *args)))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = f(n, *args)
+        float(jax.device_get(out))
+        return time.perf_counter() - t0
+
     best = float("inf")
     for _ in range(trials):
-        t0 = time.perf_counter()
-        out = f(*args)
-        float(jax.device_get(out))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        t_n = run(n1)
+        t_3n = run(n3)
+        best = min(best, max(t_3n - t_n, 0.0) / (2 * iters))
     return best

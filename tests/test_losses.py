@@ -176,3 +176,74 @@ def test_losses_differentiable_wrt_inputs():
     assert np.all(np.isfinite(np.asarray(g_am)))
     # grads of the am/lm-shift-invariant loss sum to ~zero over the vocab
     np.testing.assert_allclose(np.asarray(g_am).sum(-1), 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+def test_pruned_simple_fast_path_matches_materialized(rnnt_type):
+    """rnnt_loss_pruned_simple (band-native, no [B,T,K,C] logits) must be
+    numerically equal to the materialized pipeline do_rnnt_pruning ->
+    rnnt_loss_pruned(am_p + lm_p, ...) — losses AND gradients."""
+    from fast_rnnt_tpu import rnnt_loss_pruned_simple
+
+    rng = np.random.default_rng(42)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=12, S=6, C=16)
+    _, (pxg, pyg) = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
+    )
+    for s_range in (2, 3, 5):
+        ranges = get_rnnt_prune_ranges(
+            pxg, pyg, boundary, s_range
+        )
+
+        def loss_ref(am, lm):
+            am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+            return jnp.sum(
+                rnnt_loss_pruned(
+                    am_p + lm_p, symbols, ranges, 0, boundary,
+                    rnnt_type=rnnt_type, reduction="none",
+                )
+            )
+
+        def loss_fast(am, lm):
+            return jnp.sum(
+                rnnt_loss_pruned_simple(
+                    lm, am, symbols, ranges, 0, boundary,
+                    rnnt_type=rnnt_type, reduction="none",
+                )
+            )
+
+        l_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(am, lm)
+        l_fast, g_fast = jax.value_and_grad(loss_fast, argnums=(0, 1))(am, lm)
+        np.testing.assert_allclose(l_ref, l_fast, rtol=1e-4)
+        np.testing.assert_allclose(g_ref[0], g_fast[0], rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(g_ref[1], g_fast[1], rtol=1e-3, atol=2e-4)
+
+
+def test_pruned_simple_fast_path_delay_penalty_and_reductions():
+    from fast_rnnt_tpu import rnnt_loss_pruned_simple
+
+    rng = np.random.default_rng(43)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=12, S=6, C=16)
+    _, (pxg, pyg) = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
+    )
+    ranges = get_rnnt_prune_ranges(pxg, pyg, boundary, 3)
+
+    def mk(fast, **kw):
+        if fast:
+            return rnnt_loss_pruned_simple(
+                lm, am, symbols, ranges, 0, boundary, **kw
+            )
+        am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+        return rnnt_loss_pruned(
+            am_p + lm_p, symbols, ranges, 0, boundary, **kw
+        )
+
+    for kw in (
+        {"delay_penalty": 0.3, "reduction": "none"},
+        {"reduction": "mean"},
+        {"reduction": "sum"},
+    ):
+        np.testing.assert_allclose(
+            np.asarray(mk(True, **kw)), np.asarray(mk(False, **kw)), rtol=1e-4
+        )
