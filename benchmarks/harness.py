@@ -2,9 +2,11 @@
 
 Reproduces the transducer-loss-benchmarking comparison the reference's
 README cites (/root/reference/README.md:156-169; baselines in BASELINE.md)
-on the current device, for both the pruned pipeline (38,112 µs baseline)
-and the unpruned full-joiner loss (274,407 µs baseline), plus throughput
-(audio-seconds/s) and a parity check against the native C++ oracle.
+on the current device: the pruned pipeline (38,112 µs baseline) via both
+the materialized-logits path and the band-native fast path, the unpruned
+full-joiner loss (274,407 µs baseline), the smoothed loss, throughput
+(audio-seconds/s), peak-HBM from XLA's allocation analysis, and a parity
+check against the native C++ oracle.
 
   python benchmarks/harness.py            # full report (JSON)
   python benchmarks/harness.py --quick    # smaller shapes
@@ -24,10 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 import fast_rnnt_tpu as frt
-from fast_rnnt_tpu.utils import benchmark_fn, device_memory_stats
+from fast_rnnt_tpu.utils import benchmark_on_device, compiled_memory_mb
 
 BASE_PRUNED_US = 38112.0
+BASE_PRUNED_MB = 2647.8
 BASE_UNPRUNED_US = 274407.0
+BASE_UNPRUNED_MB = 15106.5
 
 
 def make_inputs(B, T, S, C, seed=0):
@@ -43,7 +47,9 @@ def make_inputs(B, T, S, C, seed=0):
     return am, lm, symbols, boundary
 
 
-def pruned_step(am, lm, symbols, boundary, s_range):
+def pruned_step_materialized(am, lm, symbols, boundary, s_range):
+    """Reference-shaped pipeline: pruning gathers + [B,T,K,C] logits."""
+
     def loss_fn(am, lm):
         simple, (gx, gy) = frt.rnnt_loss_simple(
             lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
@@ -58,10 +64,37 @@ def pruned_step(am, lm, symbols, boundary, s_range):
     return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
 
 
+def pruned_step_fast(am, lm, symbols, boundary, s_range):
+    """Band-native fast path (numerically equal for the additive joiner)."""
+
+    def loss_fn(am, lm):
+        simple, (gx, gy) = frt.rnnt_loss_simple(
+            lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
+        )
+        ranges = frt.get_rnnt_prune_ranges(gx, gy, boundary, s_range)
+        pruned = frt.rnnt_loss_pruned_simple(
+            lm, am, symbols, ranges, 0, boundary, reduction="sum"
+        )
+        return 0.5 * simple + pruned
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
+
+
 def unpruned_step(am, lm, symbols, boundary):
     def loss_fn(am, lm):
         logits = lm[:, None, :, :] + am[:, :, None, :]
         return frt.rnnt_loss(logits, symbols, 0, boundary, reduction="sum")
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
+
+
+def smoothed_step(am, lm, symbols, boundary):
+    def loss_fn(am, lm):
+        loss, _ = frt.rnnt_loss_smoothed(
+            lm, am, symbols, 0, 0.25, 0.0, boundary,
+            reduction="sum", calc_gradients=True,
+        )
+        return loss
 
     return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
 
@@ -87,6 +120,22 @@ def parity_check(B=2, T=16, S=6, C=12, seed=1234):
     }
 
 
+def _measure(step, args, iters, baseline_us=None, baseline_mb=None, audio_s=None):
+    dt = benchmark_on_device(step, *args, iters=iters)
+    entry = {"step_us": round(dt * 1e6, 1)}
+    if baseline_us:
+        entry["vs_baseline"] = round(baseline_us / (dt * 1e6), 3)
+    try:
+        entry["peak_hbm_mb"] = round(compiled_memory_mb(step, *args)["peak_mb"], 1)
+        if baseline_mb:
+            entry["hbm_vs_baseline"] = round(baseline_mb / entry["peak_hbm_mb"], 3)
+    except Exception:
+        pass
+    if audio_s:
+        entry["audio_seconds_per_s"] = round(audio_s / dt, 1)
+    return entry
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -108,18 +157,23 @@ def main():
         "parity_vs_cpp_oracle": parity_check(),
     }
 
-    f_pruned = jax.jit(lambda am, lm: pruned_step(am, lm, symbols, boundary, s_range))
-    dt = benchmark_fn(f_pruned, am, lm, iters=args.iters)
-    report["pruned_step_us"] = round(dt * 1e6, 1)
-    report["pruned_vs_baseline"] = round(BASE_PRUNED_US / (dt * 1e6), 3)
-    report["pruned_audio_seconds_per_s"] = round(audio_seconds / dt, 1)
-
-    f_unpruned = jax.jit(lambda am, lm: unpruned_step(am, lm, symbols, boundary))
-    dt_u = benchmark_fn(f_unpruned, am, lm, iters=max(args.iters // 4, 3))
-    report["unpruned_step_us"] = round(dt_u * 1e6, 1)
-    report["unpruned_vs_baseline"] = round(BASE_UNPRUNED_US / (dt_u * 1e6), 3)
-
-    report["memory"] = device_memory_stats()
+    report["pruned_fast"] = _measure(
+        lambda am, lm: pruned_step_fast(am, lm, symbols, boundary, s_range),
+        (am, lm), args.iters, BASE_PRUNED_US, BASE_PRUNED_MB, audio_seconds,
+    )
+    report["pruned_materialized"] = _measure(
+        lambda am, lm: pruned_step_materialized(am, lm, symbols, boundary, s_range),
+        (am, lm), args.iters, BASE_PRUNED_US, BASE_PRUNED_MB, audio_seconds,
+    )
+    report["unpruned"] = _measure(
+        lambda am, lm: unpruned_step(am, lm, symbols, boundary),
+        (am, lm), max(args.iters // 4, 3),
+        BASE_UNPRUNED_US, BASE_UNPRUNED_MB, audio_seconds,
+    )
+    report["smoothed_simple"] = _measure(
+        lambda am, lm: smoothed_step(am, lm, symbols, boundary),
+        (am, lm), args.iters, audio_s=audio_seconds,
+    )
     print(json.dumps(report, indent=2))
 
 

@@ -1,4 +1,11 @@
-from .profiling import annotate, benchmark_fn, device_memory_stats, trace_to
+from .profiling import (
+    annotate,
+    benchmark_fn,
+    benchmark_on_device,
+    compiled_memory_mb,
+    device_memory_stats,
+    trace_to,
+)
 from .validation import check_rnnt_inputs, checkify_rnnt_inputs
 
 __all__ = [
