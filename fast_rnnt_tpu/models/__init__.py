@@ -1,3 +1,4 @@
+from .decoding import greedy_search
 from .training import (
     LossConfig,
     init_model,
@@ -20,6 +21,7 @@ __all__ = [
     "Predictor",
     "PrunedTransducer",
     "TransducerConfig",
+    "greedy_search",
     "init_model",
     "make_boundary",
     "make_train_step",

@@ -1,0 +1,117 @@
+"""Batched transducer decoding on TPU (greedy search).
+
+The reference ships no inference at all (loss-only library); this completes
+the model family so the pruned transducer trained with models/training.py
+can actually be used.  TPU-first design decisions:
+
+  * fully batched, static shapes: one `lax.scan` over encoder frames with a
+    bounded emissions-per-frame inner loop — no data-dependent Python
+    control flow, so the whole search jits to a single XLA program and can
+    be `shard_map`-ped over the batch axis like the training step.
+  * the stateless predictor (embedding + causal conv over the last
+    `predictor_context` symbols, transducer.py:129-154) means the decode
+    state is just a rolling (B, context) symbol buffer — no RNN carry.
+  * finished utterances (t >= out_lens) keep emitting blanks into masked
+    lanes; results are length-tracked, not ragged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .transducer import PrunedTransducer, TransducerConfig
+
+__all__ = ["greedy_search"]
+
+
+def _predictor_last(model: PrunedTransducer, params: Any, ctx: jax.Array):
+    """lm projection rows for the CURRENT context: run the predictor on the
+    rolling (B, k) symbol buffer and keep its last position.
+
+    The Predictor prepends BOS internally and returns (B, k+1, d); row k is
+    the prediction context after all k symbols in the buffer."""
+    lm_all = model.apply(params, ctx, method=lambda m, c: m.lm_proj(m.predictor(c)))
+    return lm_all[:, -1, :]  # (B, d_joiner)
+
+
+def greedy_search(
+    model: PrunedTransducer,
+    params: Any,
+    features: jax.Array,
+    feature_lens: jax.Array,
+    max_symbols_per_frame: int = 4,
+    max_len: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched greedy (max-prob) transducer decoding.
+
+    Args:
+      model/params: a PrunedTransducer and its variables.
+      features: (B, T_in, feature_dim) float.
+      feature_lens: (B,) int frame counts before subsampling.
+      max_symbols_per_frame: emission cap per frame (keeps shapes static).
+      max_len: output buffer length.
+
+    Returns:
+      (hyps, hyp_lens): int32 (B, max_len) padded with blank, and (B,) counts.
+    """
+    cfg: TransducerConfig = model.cfg
+    blank = cfg.blank_id
+    k = max(cfg.predictor_context, 1)
+
+    # encode once; stage-1 projections give the joiner-space am rows
+    am, _lm, _sam, _slm, out_lens = model.apply(
+        params, features, feature_lens, jnp.full((features.shape[0], 1), blank,
+                                                 jnp.int32)
+    )
+    B, T, _ = am.shape
+
+    def join_logits(am_rows, lm_rows):
+        # joiner expects (B, T, s_range, d); use T = s_range = 1 slices
+        lg = model.apply(
+            params,
+            am_rows[:, None, None, :],
+            lm_rows[:, None, None, :],
+            method=PrunedTransducer.join,
+        )
+        return lg[:, 0, 0, :]  # (B, C)
+
+    def frame_step(carry, t):
+        ctx, hyps, lens = carry
+        am_t = jax.lax.dynamic_slice_in_dim(am, t, 1, axis=1)[:, 0, :]
+        active_frame = t < out_lens  # (B,)
+
+        def emit(i, inner):
+            ctx, hyps, lens, emitting = inner
+            lm_rows = _predictor_last(model, params, ctx)
+            logits = join_logits(am_t, lm_rows)
+            sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+            take = emitting & active_frame & (sym != blank) & (lens < max_len)
+            # append sym where taken
+            onehot_pos = (
+                jax.lax.broadcasted_iota(jnp.int32, hyps.shape, 1) == lens[:, None]
+            )
+            hyps = jnp.where(onehot_pos & take[:, None], sym[:, None], hyps)
+            lens = lens + take.astype(jnp.int32)
+            ctx = jnp.where(
+                take[:, None],
+                jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
+                ctx,
+            )
+            return ctx, hyps, lens, emitting & take
+
+        emitting = jnp.ones((B,), bool)
+        ctx, hyps, lens, _ = jax.lax.fori_loop(
+            0, max_symbols_per_frame, emit, (ctx, hyps, lens, emitting)
+        )
+        return (ctx, hyps, lens), None
+
+    ctx0 = jnp.full((B, k), blank, jnp.int32)
+    hyps0 = jnp.full((B, max_len), blank, jnp.int32)
+    lens0 = jnp.zeros((B,), jnp.int32)
+    (ctx, hyps, lens), _ = jax.lax.scan(
+        frame_step, (ctx0, hyps0, lens0), jnp.arange(T)
+    )
+    return hyps, lens

@@ -45,6 +45,25 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _out_struct(shape, dtype, *inputs):
+    """ShapeDtypeStruct for a pallas output, propagating the union of the
+    inputs' varying-mesh-axes (vma) so the kernels compose with
+    jax.shard_map(check_vma=True) — outputs of a shard-local kernel vary
+    over exactly the axes its inputs do."""
+    vma = frozenset()
+    for a in inputs:
+        try:
+            vma = vma | frozenset(getattr(jax.typeof(a), "vma", ()) or ())
+        except Exception:
+            pass
+    if vma:
+        try:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        except TypeError:  # older jax without the vma kwarg
+            pass
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 _USE_ROLL = True  # pltpu.roll (vector lane-rotate); False = concat fallback
 
 
@@ -208,8 +227,8 @@ def forward_lattice_pallas(
             vec_spec,  # scores
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S + 1, Bp, Tp1), dt),
-            jax.ShapeDtypeStruct((Bp, 1), dt),
+            _out_struct((S + 1, Bp, Tp1), dt, px_t, py_t, boundary),
+            _out_struct((Bp, 1), dt, px_t, py_t, boundary),
         ],
         scratch_shapes=[pltpu.VMEM((bblk, Tp1), dt)],
         interpret=interpret,
@@ -326,8 +345,8 @@ def backward_lattice_pallas(
             row_spec(lambda ib, s: (S - s, ib, 0)),  # py_grad
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, Bp, Tp1), dt),
-            jax.ShapeDtypeStruct((S + 1, Bp, Tp1), dt),
+            _out_struct((S, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
+            _out_struct((S + 1, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
         ],
         scratch_shapes=[pltpu.VMEM((bblk, Tp1), dt)],
         interpret=interpret,
