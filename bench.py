@@ -43,17 +43,14 @@ def make_inputs(seed=0):
 
 def step_fn(am, lm, symbols, boundary):
     def loss_fn(am, lm):
-        simple_loss, (px_grad, py_grad) = frt.rnnt_loss_simple(
-            lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
-        )
-        ranges = frt.get_rnnt_prune_ranges(px_grad, py_grad, boundary, S_RANGE)
         # The benchmark workload's joiner is additive (logits = am_p + lm_p),
-        # so the band-native fast path applies: numerically equal to
+        # so the fused band-native pipeline applies: numerically equal to
+        # rnnt_loss_simple(calc_gradients=True) -> get_rnnt_prune_ranges ->
         # do_rnnt_pruning -> rnnt_loss_pruned(am_p + lm_p, ...) (parity-
-        # tested in tests/test_losses.py) but never materializes the
-        # [B, T, s_range, C] logits.
-        pruned_loss = frt.rnnt_loss_pruned_simple(
-            lm, am, symbols, ranges, 0, boundary, reduction="sum"
+        # tested in tests/test_losses.py), but the lattice is built once
+        # and the [B, T, s_range, C] logits are never materialized.
+        simple_loss, pruned_loss, _ranges = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, S_RANGE, boundary, reduction="sum"
         )
         return 0.5 * simple_loss + pruned_loss
 

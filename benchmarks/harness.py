@@ -65,15 +65,12 @@ def pruned_step_materialized(am, lm, symbols, boundary, s_range):
 
 
 def pruned_step_fast(am, lm, symbols, boundary, s_range):
-    """Band-native fast path (numerically equal for the additive joiner)."""
+    """Fused band-native pipeline (numerically equal for the additive
+    joiner): one lattice build shared between both stages."""
 
     def loss_fn(am, lm):
-        simple, (gx, gy) = frt.rnnt_loss_simple(
-            lm, am, symbols, 0, boundary, reduction="sum", calc_gradients=True
-        )
-        ranges = frt.get_rnnt_prune_ranges(gx, gy, boundary, s_range)
-        pruned = frt.rnnt_loss_pruned_simple(
-            lm, am, symbols, ranges, 0, boundary, reduction="sum"
+        simple, pruned, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, s_range, boundary, reduction="sum"
         )
         return 0.5 * simple + pruned
 

@@ -26,6 +26,7 @@ from .ops.losses import (
     rnnt_loss_pruned,
     rnnt_loss_pruned_simple,
     rnnt_loss_simple,
+    rnnt_loss_simple_pruned,
     rnnt_loss_smoothed,
 )
 from .ops.pruning import (
@@ -67,4 +68,5 @@ __all__ = [
     "rnnt_loss",
     "rnnt_loss_pruned",
     "rnnt_loss_pruned_simple",
+    "rnnt_loss_simple_pruned",
 ]

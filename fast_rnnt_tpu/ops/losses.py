@@ -29,6 +29,8 @@ from .lattice import (
     get_rnnt_logprobs_pruned_simple,
     get_rnnt_logprobs_smoothed,
 )
+from .numerics import NEG_INF
+from .pruning import get_rnnt_prune_ranges
 from .recursion import mutual_information_recursion
 from ..utils.validation import check_rnnt_inputs
 
@@ -37,6 +39,7 @@ __all__ = [
     "rnnt_loss",
     "rnnt_loss_pruned",
     "rnnt_loss_pruned_simple",
+    "rnnt_loss_simple_pruned",
     "rnnt_loss_smoothed",
 ]
 
@@ -237,6 +240,88 @@ def rnnt_loss_pruned_simple(
         px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
     )
     return _reduce(negated_loss, reduction)
+
+
+def _band_mask_rows(x: jax.Array, ranges: jax.Array) -> jax.Array:
+    """Mask rows of x [B, S', T'] to -inf outside the pruning band
+    ranges[b, t, 0] <= s < ranges[b, t, 0] + K.  For "regular" px, whose
+    extra t = T column has no range entry, the last column is already -inf
+    so an edge-padded bound is harmless."""
+    B, Sx, T1 = x.shape
+    K = ranges.shape[2]
+    lo = ranges[:, :, 0].astype(jnp.int32)  # [B, T]
+    if T1 == lo.shape[1] + 1:
+        lo = jnp.pad(lo, ((0, 0), (0, 1)), mode="edge")
+    lo = lo[:, None, :]  # [B, 1, T']
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (1, Sx, 1), 1)
+    return jnp.where((s_i >= lo) & (s_i < lo + K), x, NEG_INF)
+
+
+def rnnt_loss_simple_pruned(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    s_range: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    impl: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused two-stage pruned training pipeline for the additive joiner.
+
+    Computes, building the (px, py) lattice ONCE:
+
+      1. the simple loss with occupancy gradients,
+      2. pruning ranges from the occupancies,
+      3. the pruned loss on the band-masked lattice
+         (== rnnt_loss_pruned_simple == the reference's do_rnnt_pruning ->
+         rnnt_loss_pruned(am_p + lm_p, ...) pipeline, parity-tested).
+
+    Sharing the lattice between the stages also shares its construction
+    VJP, so the backward does ONE set of normalizer/gather matmul
+    transposes instead of two — the fastest way to train with the
+    two-stage recipe of the Pruned RNN-T paper (arXiv:2206.13236 §3) when
+    stage 2's joiner is additive.
+
+    Returns (simple_loss, pruned_loss, ranges); losses reduced per
+    ``reduction``.
+    """
+    check_rnnt_inputs(
+        lm=lm, am=am, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary,
+    )
+    if rnnt_type == "constrained":
+        # build the un-constrained base; the constrained px += py[1:] must
+        # happen AFTER band masking for the pruned stage (matching
+        # get_rnnt_logprobs_pruned, rnnt_loss.py:1015-1018)
+        px0, py = get_rnnt_logprobs(
+            lm, am, symbols, termination_symbol, "modified", boundary
+        )
+        px_simple = px0 + py[:, 1:, :]
+        px_pruned_base = px0
+    else:
+        px_simple, py = get_rnnt_logprobs(
+            lm, am, symbols, termination_symbol, rnnt_type, boundary
+        )
+        px_pruned_base = px_simple
+
+    px_simple = _apply_delay_penalty(px_simple, boundary, rnnt_type, delay_penalty)
+    neg_simple, (px_grad, py_grad) = mutual_information_recursion(
+        px=px_simple, py=py, boundary=boundary, calc_gradients=True, impl=impl
+    )
+    ranges = get_rnnt_prune_ranges(px_grad, py_grad, boundary, s_range)
+
+    px_b = _band_mask_rows(px_pruned_base, ranges)
+    py_b = _band_mask_rows(py, ranges)
+    if rnnt_type == "constrained":
+        px_b = px_b + py_b[:, 1:, :]
+    px_b = _apply_delay_penalty(px_b, boundary, rnnt_type, delay_penalty)
+    neg_pruned = mutual_information_recursion(
+        px=px_b, py=py_b, boundary=boundary, calc_gradients=False, impl=impl
+    )
+    return _reduce(neg_simple, reduction), _reduce(neg_pruned, reduction), ranges
 
 
 def rnnt_loss_smoothed(

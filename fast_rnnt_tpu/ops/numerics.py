@@ -63,12 +63,12 @@ def logaddexp(x: jax.Array, y: jax.Array) -> jax.Array:
     """
     amax = jnp.maximum(x, y)
     diff = -jnp.abs(x - y)
-    # diff is NaN iff both are +/-inf of the same sign or an input is NaN.
-    safe_diff = jnp.where(jnp.isnan(diff), NEG_INF, diff)
-    out = amax + jnp.log1p(jnp.exp(safe_diff))
-    # When amax is -inf (both -inf), amax + log1p(0) is -inf + 0 = -inf: fine.
-    # When amax is NaN the where above already decoupled it; return amax.
-    return jnp.where(jnp.isfinite(amax), out, amax)
+    out = amax + jnp.log1p(jnp.exp(diff))
+    # diff is NaN only when both inputs are -inf (lattice values are never
+    # +inf) <=> amax == -inf, so one select restores the -inf; a NaN input
+    # makes amax NaN and the select keeps out (= NaN) either way — the same
+    # "return the max" contract as the reference LogAdd.
+    return jnp.where(amax == NEG_INF, NEG_INF, out)
 
 
 def safe_exp(x: jax.Array) -> jax.Array:

@@ -247,3 +247,64 @@ def test_pruned_simple_fast_path_delay_penalty_and_reductions():
         np.testing.assert_allclose(
             np.asarray(mk(True, **kw)), np.asarray(mk(False, **kw)), rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+def test_fused_simple_pruned_pipeline_matches_separate(rnnt_type):
+    """rnnt_loss_simple_pruned (one lattice build, shared VJP) must equal
+    the separate simple -> ranges -> pruned_simple calls exactly."""
+    from fast_rnnt_tpu import rnnt_loss_pruned_simple, rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(99)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=12, S=6, C=16)
+    s_range = 3
+
+    def sep(am, lm):
+        s, (gx, gy) = rnnt_loss_simple(
+            lm, am, symbols, 0, boundary, rnnt_type=rnnt_type,
+            reduction="none", calc_gradients=True,
+        )
+        ranges = get_rnnt_prune_ranges(gx, gy, boundary, s_range)
+        p = rnnt_loss_pruned_simple(
+            lm, am, symbols, ranges, 0, boundary, rnnt_type=rnnt_type,
+            reduction="none",
+        )
+        return s, p, ranges
+
+    def fused(am, lm):
+        return rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, s_range, boundary, rnnt_type=rnnt_type,
+            reduction="none",
+        )
+
+    s1, p1, r1 = sep(am, lm)
+    s2, p2, r2 = fused(am, lm)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    g1 = jax.grad(lambda am, lm: jnp.sum(sep(am, lm)[1]), argnums=(0, 1))(am, lm)
+    g2 = jax.grad(lambda am, lm: jnp.sum(fused(am, lm)[1]), argnums=(0, 1))(am, lm)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-3, atol=2e-4)
+
+
+def test_fused_pipeline_delay_penalty():
+    from fast_rnnt_tpu import rnnt_loss_pruned_simple, rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(100)
+    lm, am, symbols, boundary = _inputs(rng, B=2, T=10, S=5, C=12)
+    s, (gx, gy) = rnnt_loss_simple(
+        lm, am, symbols, 0, boundary, delay_penalty=0.2,
+        reduction="none", calc_gradients=True,
+    )
+    ranges = get_rnnt_prune_ranges(gx, gy, boundary, 3)
+    p = rnnt_loss_pruned_simple(
+        lm, am, symbols, ranges, 0, boundary, delay_penalty=0.2, reduction="none"
+    )
+    s2, p2, r2 = rnnt_loss_simple_pruned(
+        lm, am, symbols, 0, 3, boundary, delay_penalty=0.2, reduction="none"
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ranges), np.asarray(r2))
