@@ -42,7 +42,12 @@ def load_library() -> ctypes.CDLL:
     )
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < newest_src:
         _build()
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/foreign-architecture binary: rebuild from source
+        _build()
+        lib = ctypes.CDLL(_LIB_PATH)
     i32 = ctypes.c_int32
     fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
