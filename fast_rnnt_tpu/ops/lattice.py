@@ -154,8 +154,11 @@ def get_rnnt_logprobs(
     B, T, C = am.shape
     S = lm.shape[1] - 1
 
-    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
-    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    # stability shifts only: the normalizer is shift-invariant, so their
+    # gradient contributions cancel exactly — stop_gradient skips the
+    # max-VJP scatter pass over the [B, T, C] tensor (~10% of step time)
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
     am_probs = jnp.exp(am - am_max)
     lm_probs = jnp.exp(lm - lm_max)
     normalizers = jnp.log(
@@ -432,8 +435,11 @@ def get_rnnt_logprobs_pruned_simple(
     S = lm.shape[1] - 1
     K = ranges.shape[2]
 
-    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
-    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    # stability shifts only: the normalizer is shift-invariant, so their
+    # gradient contributions cancel exactly — stop_gradient skips the
+    # max-VJP scatter pass over the [B, T, C] tensor (~10% of step time)
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
     am_probs = jnp.exp(am - am_max)
     lm_probs = jnp.exp(lm - lm_max)
     normalizers = jnp.log(
@@ -491,8 +497,11 @@ def get_rnnt_logprobs_smoothed(
     B, T, C = am.shape
     S = lm.shape[1] - 1
 
-    am_max = jnp.max(am, axis=2, keepdims=True)  # [B, T, 1]
-    lm_max = jnp.max(lm, axis=2, keepdims=True)  # [B, S+1, 1]
+    # stability shifts only: the normalizer is shift-invariant, so their
+    # gradient contributions cancel exactly — stop_gradient skips the
+    # max-VJP scatter pass over the [B, T, C] tensor (~10% of step time)
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
     am_probs = jnp.exp(am - am_max)
     lm_probs = jnp.exp(lm - lm_max)
     normalizers = jnp.log(
