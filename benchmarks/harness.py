@@ -96,6 +96,52 @@ def smoothed_step(am, lm, symbols, boundary):
     return jax.value_and_grad(loss_fn, argnums=(0, 1))(am, lm)
 
 
+def model_step_bench(iters):
+    """BASELINE config #5: LibriSpeech-scale pruned-transducer training step
+    (conformer encoder, vocab 500) on the local mesh.  Single-chip here;
+    the loss is per-utterance so scaling to N chips/hosts is linear up to
+    the gradient psum (validated functionally on virtual CPU meshes in
+    tests/test_parallel.py and the driver's multichip dry-run)."""
+    import optax
+
+    from fast_rnnt_tpu.models import (
+        LossConfig,
+        TransducerConfig,
+        init_model,
+        make_train_step,
+    )
+    from fast_rnnt_tpu.parallel import make_mesh, shard_batch
+    from fast_rnnt_tpu.utils.profiling import benchmark_on_device
+
+    cfg = TransducerConfig()  # d_model=256, 6 conformer layers, vocab 500
+    model, params = init_model(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    B, T_in, S = 8, 1000, 100  # ~10 s utterances, 10 ms frames, 4x subsample
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, T_in, cfg.feature_dim)).astype(np.float32))
+    flens = jnp.full((B,), T_in, jnp.int32)
+    syms = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, S)).astype(np.int32))
+    slens = jnp.full((B,), S, jnp.int32)
+    batch = shard_batch((feats, flens, syms, slens), mesh)
+
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt, mesh=mesh, loss_cfg=LossConfig(s_range=5))
+
+    def one(feats):
+        b = (feats,) + batch[1:]
+        p2, o2, metrics = step(params, opt_state, b)
+        return metrics["loss"]
+
+    dt = benchmark_on_device(one, batch[0], iters=iters)
+    audio_s = B * T_in * 0.01
+    return {
+        "step_us": round(dt * 1e6, 1),
+        "audio_seconds_per_s": round(audio_s / dt, 1),
+        "workload": {"B": B, "T_in": T_in, "S": S, "model": "conformer-6L-256d"},
+    }
+
+
 def parity_check(B=2, T=16, S=6, C=12, seed=1234):
     """Loss + occupancy parity vs the native C++ oracle (fp32)."""
     from fast_rnnt_tpu.csrc import mi_backward_cpu, mi_forward_cpu
@@ -171,6 +217,10 @@ def main():
         lambda am, lm: smoothed_step(am, lm, symbols, boundary),
         (am, lm), args.iters, audio_s=audio_seconds,
     )
+    try:
+        report["model_train_step"] = model_step_bench(max(args.iters // 2, 5))
+    except Exception as e:  # models extras (flax/optax) unavailable
+        report["model_train_step"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(report, indent=2))
 
 

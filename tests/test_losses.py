@@ -308,3 +308,36 @@ def test_fused_pipeline_delay_penalty():
     np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p2), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(ranges), np.asarray(r2))
+
+
+def test_smoothed_full_grad_check_config3():
+    """BASELINE config #3: rnnt_loss_smoothed at B=8 T=200 S=40 C=500 with a
+    full gradient check (finiteness, vocab-shift invariance, occupancy
+    consistency with jax.grad)."""
+    rng = np.random.default_rng(3)
+    lm, am, symbols, boundary = _inputs(rng, B=8, T=200, S=40, C=500)
+
+    def loss_fn(lm, am):
+        return rnnt_loss_smoothed(
+            lm, am, symbols, 0, 0.25, 0.1, boundary, reduction="sum"
+        )
+
+    loss, (g_lm, g_am) = jax.value_and_grad(loss_fn, argnums=(0, 1))(lm, am)
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(g_lm)))
+    assert np.all(np.isfinite(np.asarray(g_am)))
+    # loss is invariant to per-(b, t) shifts of am (softmax-normalized), so
+    # the am grad sums to ~0 over the vocab
+    np.testing.assert_allclose(
+        np.asarray(g_am).sum(-1), 0.0, atol=2e-3
+    )
+
+    # calc_gradients occupancies == jax.grad of the negated-sum scores
+    _, (pxg, pyg) = rnnt_loss_smoothed(
+        lm, am, symbols, 0, 0.25, 0.1, boundary,
+        reduction="none", calc_gradients=True,
+    )
+    occ = np.asarray(pxg.sum((1, 2)) + pyg.sum((1, 2)))
+    np.testing.assert_allclose(
+        occ, np.asarray(boundary)[:, 2] + np.asarray(boundary)[:, 3], rtol=1e-3
+    )
