@@ -45,6 +45,16 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_bblk(Bp: int) -> int:
+    """Largest batch block <= 4 sublanes' worth of rows that exactly divides
+    the padded batch — the grid uses Bp // bblk blocks, so bblk must divide
+    Bp or trailing batch rows would silently never be computed."""
+    for m in (4 * SUBLANE, 3 * SUBLANE, 2 * SUBLANE, SUBLANE):
+        if Bp % m == 0:
+            return m
+    return SUBLANE
+
+
 def _out_struct(shape, dtype, *inputs):
     """ShapeDtypeStruct for a pallas output, propagating the union of the
     inputs' varying-mesh-axes (vma) so the kernels compose with
@@ -186,7 +196,7 @@ def forward_lattice_pallas(
 
     Tp1 = _ceil_to(T + 1, LANE)
     Bp = _ceil_to(B, SUBLANE)
-    bblk = min(Bp, 4 * SUBLANE)
+    bblk = _pick_bblk(Bp)
 
     dt = px.dtype
     px_t = jnp.full((S, Bp, Tp1), NEG_INF, dt).at[:, :B, :T1].set(
@@ -311,7 +321,7 @@ def backward_lattice_pallas(
         )
 
     S1p, Bp, Tp1 = p_internal.shape
-    bblk = min(Bp, 4 * SUBLANE)
+    bblk = _pick_bblk(Bp)
 
     dt = px.dtype
     se = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 2:3].astype(jnp.int32))

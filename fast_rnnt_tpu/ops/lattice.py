@@ -26,12 +26,17 @@ import numpy as np
 from .numerics import NEG_INF
 
 __all__ = [
+    "band_mask_rows",
     "fix_for_boundary",
     "get_rnnt_logprobs",
     "get_rnnt_logprobs_joint",
     "get_rnnt_logprobs_pruned",
+    "get_rnnt_logprobs_pruned_simple",
     "get_rnnt_logprobs_smoothed",
+    "matmul_precision",
     "roll_by_shifts",
+    "scatter_window",
+    "set_matmul_precision",
 ]
 
 RNNT_TYPES = ("regular", "modified", "constrained")
@@ -348,7 +353,9 @@ def get_rnnt_logprobs_pruned(
             ranges_onehot,
             symbols_with_terminal.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-            precision=matmul_precision(),
+            # pinned: this reconstructs integer ids, and single-pass bf16
+            # (matmul_precision()="default") rounds ids > 256
+            precision=jax.lax.Precision.HIGHEST,
         )
         .round()
         .astype(jnp.int32)
@@ -431,47 +438,33 @@ def get_rnnt_logprobs_pruned_simple(
     ``am_p, lm_p = do_rnnt_pruning(am, lm, ranges)``.
     """
     _check_rnnt_type(rnnt_type)
-    B, T, C = am.shape
-    S = lm.shape[1] - 1
-    K = ranges.shape[2]
-
-    # stability shifts only: the normalizer is shift-invariant, so their
-    # gradient contributions cancel exactly — stop_gradient skips the
-    # max-VJP scatter pass over the [B, T, C] tensor (~10% of step time)
-    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
-    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
-    am_probs = jnp.exp(am - am_max)
-    lm_probs = jnp.exp(lm - lm_max)
-    normalizers = jnp.log(
-        jnp.einsum(
-            "bsc,btc->bst", lm_probs, am_probs, preferred_element_type=jnp.float32,
-        precision=matmul_precision(),
-        )
-        + _TINY
+    # build the simple lattice (without the constrained add, which must
+    # happen AFTER band masking to match get_rnnt_logprobs_pruned,
+    # rnnt_loss.py:1015-1018), then mask it to the band
+    base_type = "modified" if rnnt_type == "constrained" else rnnt_type
+    px, py = get_rnnt_logprobs(
+        lm, am, symbols, termination_symbol, base_type, boundary
     )
-    normalizers = normalizers + lm_max + jnp.swapaxes(am_max, 1, 2)  # [B, S+1, T]
-
-    px = _gather_am_symbols(am, symbols) + _gather_lm_symbols(lm, symbols)
-    px = px - normalizers[:, :S, :]  # [B, S, T]
-    py_am = am[:, :, termination_symbol][:, None, :]  # [B, 1, T]
-    py_lm = lm[:, :, termination_symbol][:, :, None]  # [B, S+1, 1]
-    py = py_am + py_lm - normalizers  # [B, S+1, T]
-
-    # band masks: s in [ranges[b,t,0], ranges[b,t,0]+K)
-    lo = ranges[:, :, 0].astype(jnp.int32)[:, None, :]  # [B, 1, T]
-    s_px = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
-    s_py = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1, 1), 1)
-    px = jnp.where((s_px >= lo) & (s_px < lo + K), px, NEG_INF)
-    py = jnp.where((s_py >= lo) & (s_py < lo + K), py, NEG_INF)
-
-    if rnnt_type == "regular":
-        px = jnp.concatenate(
-            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
-        )
-        px = fix_for_boundary(px, boundary)
-    elif rnnt_type == "constrained":
+    px = band_mask_rows(px, ranges)
+    py = band_mask_rows(py, ranges)
+    if rnnt_type == "constrained":
         px = px + py[:, 1:, :]
     return px, py
+
+
+def band_mask_rows(x: jax.Array, ranges: jax.Array) -> jax.Array:
+    """Mask rows of x [B, S', T'] to -inf outside the pruning band
+    ranges[b, t, 0] <= s < ranges[b, t, 0] + K.  For "regular" px, whose
+    extra t = T column has no range entry, the last column is already -inf
+    so an edge-padded bound is harmless."""
+    B, Sx, T1 = x.shape
+    K = ranges.shape[2]
+    lo = ranges[:, :, 0].astype(jnp.int32)  # [B, T]
+    if T1 == lo.shape[1] + 1:
+        lo = jnp.pad(lo, ((0, 0), (0, 1)), mode="edge")
+    lo = lo[:, None, :]  # [B, 1, T']
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (1, Sx, 1), 1)
+    return jnp.where((s_i >= lo) & (s_i < lo + K), x, NEG_INF)
 
 
 def get_rnnt_logprobs_smoothed(
@@ -561,7 +554,11 @@ def get_rnnt_logprobs_smoothed(
     py_lmonly = py_lm - lmonly_normalizers  # [B, S+1, 1]
 
     combined_scale = 1.0 - lm_only_scale - am_only_scale
-    # avoid 0 * -inf = NaN when a scale is exactly zero
+    # avoid 0 * -inf = NaN when any scale is exactly zero (the reference
+    # floors only the lm/am scales, rnnt_loss.py:1344-1349, so
+    # lm_only + am_only == 1 NaNs there — fixed here)
+    if combined_scale == 0.0:
+        combined_scale = 1.0e-20
     if lm_only_scale == 0.0:
         lm_only_scale = 1.0e-20
     if am_only_scale == 0.0:

@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from .lattice import (
+    band_mask_rows,
     get_rnnt_logprobs,
     get_rnnt_logprobs_joint,
     get_rnnt_logprobs_pruned,
     get_rnnt_logprobs_pruned_simple,
     get_rnnt_logprobs_smoothed,
 )
-from .numerics import NEG_INF
 from .pruning import get_rnnt_prune_ranges
 from .recursion import mutual_information_recursion
 from ..utils.validation import check_rnnt_inputs
@@ -242,21 +242,6 @@ def rnnt_loss_pruned_simple(
     return _reduce(negated_loss, reduction)
 
 
-def _band_mask_rows(x: jax.Array, ranges: jax.Array) -> jax.Array:
-    """Mask rows of x [B, S', T'] to -inf outside the pruning band
-    ranges[b, t, 0] <= s < ranges[b, t, 0] + K.  For "regular" px, whose
-    extra t = T column has no range entry, the last column is already -inf
-    so an edge-padded bound is harmless."""
-    B, Sx, T1 = x.shape
-    K = ranges.shape[2]
-    lo = ranges[:, :, 0].astype(jnp.int32)  # [B, T]
-    if T1 == lo.shape[1] + 1:
-        lo = jnp.pad(lo, ((0, 0), (0, 1)), mode="edge")
-    lo = lo[:, None, :]  # [B, 1, T']
-    s_i = jax.lax.broadcasted_iota(jnp.int32, (1, Sx, 1), 1)
-    return jnp.where((s_i >= lo) & (s_i < lo + K), x, NEG_INF)
-
-
 def rnnt_loss_simple_pruned(
     lm: jax.Array,
     am: jax.Array,
@@ -292,6 +277,13 @@ def rnnt_loss_simple_pruned(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
+    if boundary is None:
+        # get_rnnt_prune_ranges needs explicit bounds; default [0, 0, S, T]
+        B, S = symbols.shape
+        T = am.shape[1]
+        boundary = jnp.broadcast_to(
+            jnp.array([0, 0, S, T], dtype=jnp.int32), (B, 4)
+        )
     if rnnt_type == "constrained":
         # build the un-constrained base; the constrained px += py[1:] must
         # happen AFTER band masking for the pruned stage (matching
@@ -313,8 +305,8 @@ def rnnt_loss_simple_pruned(
     )
     ranges = get_rnnt_prune_ranges(px_grad, py_grad, boundary, s_range)
 
-    px_b = _band_mask_rows(px_pruned_base, ranges)
-    py_b = _band_mask_rows(py, ranges)
+    px_b = band_mask_rows(px_pruned_base, ranges)
+    py_b = band_mask_rows(py, ranges)
     if rnnt_type == "constrained":
         px_b = px_b + py_b[:, 1:, :]
     px_b = _apply_delay_penalty(px_b, boundary, rnnt_type, delay_penalty)

@@ -47,10 +47,10 @@ __all__ = [
     "NEG_INF",
 ]
 
-# A large-magnitude finite stand-in used for clamping (the reference clamps
-# lattice values below -1e30, mutual_information_cuda.cu:629-637).
+# True -inf is used throughout (with NaN-safe logaddexp/safe_exp below);
+# the reference instead clamps lattice values to -1e30 in its backward
+# (mutual_information_cuda.cu:629-637) — unnecessary here.
 NEG_INF = float("-inf")
-_MIN_LOG = -1.0e30
 
 
 def logaddexp(x: jax.Array, y: jax.Array) -> jax.Array:

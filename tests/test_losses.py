@@ -341,3 +341,38 @@ def test_smoothed_full_grad_check_config3():
     np.testing.assert_allclose(
         occ, np.asarray(boundary)[:, 2] + np.asarray(boundary)[:, 3], rtol=1e-3
     )
+
+
+def test_fused_pipeline_boundary_none():
+    """boundary=None must work through the fused pipeline (the package
+    lifts the reference's mandatory-boundary limitation everywhere)."""
+    from fast_rnnt_tpu import rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(5)
+    lm, am, symbols, _ = _inputs(rng, B=2, T=10, S=5, C=12, ragged=False)
+    s, p, r = rnnt_loss_simple_pruned(
+        lm, am, symbols, 0, 3, None, reduction="none"
+    )
+    B, S = symbols.shape
+    T = am.shape[1]
+    full = jnp.asarray(
+        np.tile(np.array([0, 0, S, T], np.int32), (B, 1))
+    )
+    s2, p2, r2 = rnnt_loss_simple_pruned(
+        lm, am, symbols, 0, 3, full, reduction="none"
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(r2))
+
+
+def test_smoothed_no_nan_when_scales_sum_to_one():
+    """combined_scale == 0 (lm_only + am_only == 1) must not produce NaN
+    from 0 * -inf (a latent bug in the reference, which floors only the
+    lm/am scales, rnnt_loss.py:1344-1349)."""
+    rng = np.random.default_rng(6)
+    lm, am, symbols, boundary = _inputs(rng, B=2, T=8, S=4, C=10)
+    loss = rnnt_loss_smoothed(
+        lm, am, symbols, 0, 0.5, 0.5, boundary, reduction="none"
+    )
+    assert np.all(np.isfinite(np.asarray(loss))), loss

@@ -88,3 +88,26 @@ def test_pallas_nonzero_begin():
     np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(pxg, ref_pxg, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(pyg, ref_pyg, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("B", [33, 40, 56])
+def test_pallas_large_nondivisible_batch(B):
+    """Regression: batch sizes whose 8-padded count is not a multiple of the
+    batch block used to drop trailing rows (scores/grads uninitialized)."""
+    rng = np.random.default_rng(B)
+    S, T = 6, 20
+    px = jnp.asarray(rng.normal(size=(B, S, T + 1)).astype(np.float32)) - 2.0
+    py = jnp.asarray(rng.normal(size=(B, S + 1, T)).astype(np.float32)) - 2.0
+    s_p, (gx_p, gy_p) = mutual_information_recursion(
+        px, py, None, calc_gradients=True, impl="pallas"
+    )
+    s_x, (gx_x, gy_x) = mutual_information_recursion(
+        px, py, None, calc_gradients=True, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_x), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy_p), np.asarray(gy_x), rtol=1e-3, atol=1e-5
+    )
