@@ -41,7 +41,12 @@ def load_library() -> ctypes.CDLL:
         os.path.getmtime(os.path.join(_SRC_DIR, s)) for s in _SOURCES
     )
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < newest_src:
-        _build()
+        try:
+            _build()
+        except (OSError, subprocess.CalledProcessError):
+            # no compiler available: fall through and try any existing .so
+            if not os.path.exists(_LIB_PATH):
+                raise
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

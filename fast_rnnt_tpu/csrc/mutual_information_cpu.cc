@@ -140,7 +140,7 @@ void frt_mi_backward(const float* px, const float* py, const float* p,
 // (counterpart of the reference Cummin op, tf_fast_rnnt_op.cc:135-165).
 void frt_cummin(const int32_t* x, int32_t* out, int32_t B, int32_t T) {
   for (int32_t b = 0; b < B; ++b) {
-    int32_t m = x[(int64_t)b * T];
+    int32_t m = INT32_MAX;  // re-minned at t = 0; also avoids an OOB read when T == 0
     for (int32_t t = 0; t < T; ++t) {
       const int32_t v = x[(int64_t)b * T + t];
       m = v < m ? v : m;

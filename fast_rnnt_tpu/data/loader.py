@@ -72,7 +72,11 @@ class RaggedBatcher:
         pad_batch_to: int | None = None,
     ):
         self.max_frames = max_frames
-        self.max_batch = max_batch
+        # pad_batch_to promises ONE static batch dim, so it must also cap
+        # the planner (otherwise dense batches would exceed it un-padded)
+        self.max_batch = (
+            max_batch if pad_batch_to is None else min(max_batch, pad_batch_to)
+        )
         self.quantum = quantum
         self.pad_batch_to = pad_batch_to
 

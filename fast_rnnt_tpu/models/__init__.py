@@ -1,4 +1,4 @@
-from .decoding import greedy_search
+from .decoding import greedy_search, modified_beam_search
 from .training import (
     LossConfig,
     init_model,
@@ -23,6 +23,7 @@ __all__ = [
     "TransducerConfig",
     "greedy_search",
     "init_model",
+    "modified_beam_search",
     "make_boundary",
     "make_train_step",
     "pruned_transducer_loss",

@@ -10,7 +10,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional, Tuple
 
-import jax
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
 
@@ -67,12 +66,7 @@ def restore_checkpoint(
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     if template is not None:
-        restored = mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(
-                jax.tree_util.tree_map(lambda x: x, template)
-            ),
-        )
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     else:
         restored = mgr.restore(step)
     mgr.close()

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .transducer import PrunedTransducer, TransducerConfig
 
-__all__ = ["greedy_search"]
+__all__ = ["greedy_search", "modified_beam_search"]
 
 
 def _predictor_last(model: PrunedTransducer, params: Any, ctx: jax.Array):
@@ -61,10 +61,13 @@ def greedy_search(
     blank = cfg.blank_id
     k = max(cfg.predictor_context, 1)
 
-    # encode once; stage-1 projections give the joiner-space am rows
-    am, _lm, _sam, _slm, out_lens = model.apply(
-        params, features, feature_lens, jnp.full((features.shape[0], 1), blank,
-                                                 jnp.int32)
+    # encode once; only the encoder + am projection are needed for decoding
+    am, out_lens = model.apply(
+        params,
+        features,
+        feature_lens,
+        method=lambda m, f, fl: (lambda enc_lens: (m.am_proj(enc_lens[0]),
+                                                   enc_lens[1]))(m.encoder(f, fl)),
     )
     B, T, _ = am.shape
 
@@ -115,3 +118,111 @@ def greedy_search(
         frame_step, (ctx0, hyps0, lens0), jnp.arange(T)
     )
     return hyps, lens
+
+
+def modified_beam_search(
+    model: PrunedTransducer,
+    params: Any,
+    features: jax.Array,
+    feature_lens: jax.Array,
+    beam: int = 4,
+    max_len: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched modified beam search (at most ONE emission per frame — the
+    constraint k2/icefall's ``modified_beam_search`` uses, which matches the
+    "modified" rnnt_type and keeps every shape static on TPU).
+
+    Per frame each of the H live hypotheses expands over the full vocab
+    (blank = stay, symbol = append); the top-H of the H*C candidates
+    survive.  All bookkeeping is top_k + one-hot-free gathers over an H
+    axis of ~4-8, so the whole search jits to a single XLA program.
+
+    Returns (hyps, hyp_lens) for the best hypothesis per utterance:
+    int32 (B, max_len) padded with blank, and (B,) lengths.
+    """
+    cfg: TransducerConfig = model.cfg
+    blank = cfg.blank_id
+    k = max(cfg.predictor_context, 1)
+    H = beam
+
+    am, out_lens = model.apply(
+        params,
+        features,
+        feature_lens,
+        method=lambda m, f, fl: (lambda enc_lens: (m.am_proj(enc_lens[0]),
+                                                   enc_lens[1]))(m.encoder(f, fl)),
+    )
+    B, T, _ = am.shape
+    C = cfg.vocab_size
+
+    def frame_step(carry, t):
+        scores, ctx, hyps, lens = carry  # (B,H), (B,H,k), (B,H,L), (B,H)
+        am_t = jax.lax.dynamic_slice_in_dim(am, t, 1, axis=1)[:, 0, :]  # (B,d)
+        active = (t < out_lens)[:, None]  # (B,1)
+
+        lm_rows = _predictor_last(
+            model, params, ctx.reshape(B * H, k)
+        ).reshape(B, H, -1)
+        logits = model.apply(
+            params,
+            am_t[:, None, None, :].repeat(H, axis=1),  # (B,H,1,d)
+            lm_rows[:, :, None, :],
+            method=PrunedTransducer.join,
+        )[:, :, 0, :]  # (B,H,C)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        # candidate scores; frozen (inactive) frames only allow blank
+        cand = scores[:, :, None] + jnp.where(
+            active[:, :, None], logp, jnp.where(
+                jnp.arange(C) == blank, 0.0, -jnp.inf
+            )[None, None, :],
+        )  # (B,H,C)
+        # hypotheses that can no longer grow: emissions only via blank
+        full = (lens >= max_len)[:, :, None]
+        cand = jnp.where(
+            full & (jnp.arange(C)[None, None, :] != blank), -jnp.inf, cand
+        )
+        top_scores, flat_idx = jax.lax.top_k(cand.reshape(B, H * C), H)
+        parent = flat_idx // C  # (B,H)
+        sym = (flat_idx % C).astype(jnp.int32)
+
+        # gather parent state via one-hot over the tiny H axis (gather-free)
+        sel = (
+            parent[:, :, None] == jnp.arange(H)[None, None, :]
+        )  # (B, Hnew, Hold)
+        gat = lambda x: jnp.einsum(
+            "bno,bo...->bn...", sel.astype(x.dtype), x
+        ).astype(x.dtype)
+        new_ctx = gat(ctx)
+        new_hyps = gat(hyps)
+        new_lens = gat(lens)
+
+        emit = sym != blank  # (B,H)
+        pos_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, new_hyps.shape, 2)
+            == new_lens[:, :, None]
+        )
+        new_hyps = jnp.where(
+            pos_onehot & emit[:, :, None], sym[:, :, None], new_hyps
+        )
+        new_lens = new_lens + emit.astype(new_lens.dtype)
+        new_ctx = jnp.where(
+            emit[:, :, None],
+            jnp.concatenate([new_ctx[:, :, 1:], sym[:, :, None]], axis=2),
+            new_ctx,
+        )
+        return (top_scores, new_ctx, new_hyps, new_lens), None
+
+    # beam slot 0 starts live, the rest at -inf so the first frame fans out
+    scores0 = jnp.full((B, H), -jnp.inf).at[:, 0].set(0.0)
+    ctx0 = jnp.full((B, H, k), blank, jnp.int32)
+    hyps0 = jnp.full((B, H, max_len), blank, jnp.int32)
+    lens0 = jnp.zeros((B, H), jnp.int32)
+    (scores, ctx, hyps, lens), _ = jax.lax.scan(
+        frame_step, (scores0, ctx0, hyps0, lens0), jnp.arange(T)
+    )
+    best = jnp.argmax(scores, axis=1)  # (B,)
+    bsel = (best[:, None] == jnp.arange(H)[None, :]).astype(jnp.int32)
+    best_hyps = jnp.einsum("bh,bhl->bl", bsel, hyps).astype(jnp.int32)
+    best_lens = jnp.einsum("bh,bh->b", bsel, lens).astype(jnp.int32)
+    return best_hyps, best_lens

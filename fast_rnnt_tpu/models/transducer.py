@@ -116,7 +116,10 @@ class Encoder(nn.Module):
         x = nn.relu(x)
         B, T, F, C2 = x.shape
         x = nn.Dense(c.d_model, dtype=c.dtype)(x.reshape(B, T, F * C2))
-        out_lens = feature_lens // 4
+        # SAME-padded stride-2 convs produce ceil(L/2) frames each, so the
+        # valid frame count is ceil(L/4) — flooring would mask the final
+        # partial frame and zero out utterances shorter than 4 frames
+        out_lens = (feature_lens + 3) // 4
         pad_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (B, T), 1) < out_lens[:, None]
         )
@@ -139,14 +142,17 @@ class Predictor(nn.Module):
     def __call__(self, symbols):
         c = self.cfg
         B, S = symbols.shape
-        # prepend blank as BOS: context for position s is symbols[< s]
+        # prepend k blanks (an infinite-blank history): the context window
+        # for position s is the last k tokens of [blank*k, symbols[:s]].
+        # Padding with blank EMBEDDINGS (not zero vectors) makes the
+        # position-0 state identical to what greedy decoding reconstructs
+        # from its blank-initialized rolling context buffer (decoding.py).
+        k = max(c.predictor_context, 1)
         y = jnp.concatenate(
-            [jnp.full((B, 1), c.blank_id, dtype=symbols.dtype), symbols], axis=1
-        )  # (B, S+1)
+            [jnp.full((B, k), c.blank_id, dtype=symbols.dtype), symbols], axis=1
+        )  # (B, S+k)
         x = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype)(y)
         # causal conv over the symbol axis (left context only)
-        k = c.predictor_context
-        x = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
         x = nn.Conv(features=c.d_model, kernel_size=(k,), padding="VALID",
                     dtype=c.dtype)(x)
         x = nn.relu(x)

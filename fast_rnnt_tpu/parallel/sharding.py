@@ -148,6 +148,14 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+    except (RuntimeError, ValueError) as e:
+        # Swallow ONLY the benign already-initialized / nothing-to-initialize
+        # cases.  A genuine multi-host init failure (bad coordinator address,
+        # firewalled port) must propagate — otherwise each host would fall
+        # back to single-process and train without gradient sync.
+        msg = str(e).lower()
+        if "already initialized" in msg or "single process" in msg or (
+            coordinator_address is None and num_processes in (None, 1)
+        ):
+            return
+        raise

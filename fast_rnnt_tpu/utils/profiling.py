@@ -73,7 +73,8 @@ def benchmark_fn(
 
     def _sync(out):
         leaves = jax.tree_util.tree_leaves(out)
-        jax.device_get(leaves[0])
+        if leaves:
+            jax.device_get(leaves[0])
         jax.block_until_ready(out)
 
     for _ in range(warmup):

@@ -18,6 +18,7 @@ from fast_rnnt_tpu.models import (
     greedy_search,
     init_model,
     make_train_step,
+    modified_beam_search,
 )
 from fast_rnnt_tpu.parallel import make_mesh, shard_batch
 
@@ -55,6 +56,14 @@ def test_overfit_then_greedy_decode_recovers_targets():
     )(feats, flens)
     np.testing.assert_array_equal(np.asarray(hlens), [S, S])
     np.testing.assert_array_equal(np.asarray(hyps)[:, :S], np.asarray(syms))
+
+    # modified beam search must also recover the targets (and agree with
+    # greedy on an overfit model)
+    bh, bl = jax.jit(
+        lambda f, l: modified_beam_search(model, params, f, l, beam=4, max_len=8)
+    )(feats, flens)
+    np.testing.assert_array_equal(np.asarray(bl), [S, S])
+    np.testing.assert_array_equal(np.asarray(bh)[:, :S], np.asarray(syms))
 
 
 def test_greedy_search_static_shapes_and_jit():
