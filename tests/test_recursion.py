@@ -237,3 +237,22 @@ def test_cummin_and_monotonic_lower_bound():
     m = np.asarray(monotonic_lower_bound(z))
     assert np.all(m[:, :-1] <= m[:, 1:])
     assert np.all(m <= np.asarray(z))
+
+
+def test_recursion_float64():
+    """Double-precision support (the reference instantiates float AND double
+    kernels, mutual_information_cuda.cu:1015-1036); the XLA scan core is
+    dtype-generic and reaches machine precision in f64."""
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(0)
+        B, S, T = 2, 5, 9
+        px = jnp.asarray(rng.normal(size=(B, S, T + 1)) - 2.0)
+        py = jnp.asarray(rng.normal(size=(B, S + 1, T)) - 2.0)
+        assert px.dtype == jnp.float64
+        s, (gx, gy) = mutual_information_recursion(
+            px, py, None, calc_gradients=True, impl="xla"
+        )
+        ref_s, ref_gx, ref_gy, _ = mi_loop(px, py, None)
+        np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gx), ref_gx, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gy), ref_gy, atol=1e-12)
