@@ -256,3 +256,45 @@ def test_recursion_float64():
         np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-12)
         np.testing.assert_allclose(np.asarray(gx), ref_gx, atol=1e-12)
         np.testing.assert_allclose(np.asarray(gy), ref_gy, atol=1e-12)
+
+
+def test_fuzz_boundaries_incl_nonzero_begins():
+    """Property fuzz: random shapes and FULL random boundaries — including
+    nonzero s_begin/t_begin, which the reference supports
+    (mutual_information_cuda.cu:232-268) — against the loop oracle, for
+    both the XLA core and the Pallas kernels (interpret mode)."""
+    from fast_rnnt_tpu.ops.kernels import register
+
+    register(default=False, interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(2024)
+    for trial in range(12):
+        B = int(rng.integers(1, 4))
+        S = int(rng.integers(1, 7))
+        T = int(rng.integers(2, 12))
+        modified = bool(rng.integers(0, 2))
+        px, py = _random_pxpy(rng, B, S, T, modified=modified)
+        sb = rng.integers(0, S, size=B)
+        se = rng.integers(sb + 1, S + 1, size=B) if S > 0 else sb
+        tb = rng.integers(0, T // 2 + 1, size=B)
+        lo = np.maximum(tb + 1, se - sb)  # need enough frames for symbols
+        te = np.array([rng.integers(l, T + 1) if l <= T else T for l in lo])
+        boundary = np.stack([sb, tb, se, te], axis=1).astype(np.int32)
+
+        ref_scores, ref_gx, ref_gy, _ = mi_loop(px, py, boundary)
+        for impl in ("xla", "pallas"):
+            s, (gx, gy) = mutual_information_recursion(
+                jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+                calc_gradients=True, impl=impl,
+            )
+            np.testing.assert_allclose(
+                np.asarray(s), ref_scores, rtol=2e-4, atol=1e-5,
+                err_msg=f"trial {trial} impl={impl} boundary={boundary}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(gx), ref_gx, rtol=1e-3, atol=1e-5,
+                err_msg=f"trial {trial} impl={impl}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(gy), ref_gy, rtol=1e-3, atol=1e-5,
+                err_msg=f"trial {trial} impl={impl}",
+            )
