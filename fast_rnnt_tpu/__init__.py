@@ -28,6 +28,7 @@ from .ops.losses import (
     rnnt_loss_simple,
     rnnt_loss_simple_pruned,
     rnnt_loss_smoothed,
+    rnnt_loss_smoothed_pruned,
 )
 from .ops.pruning import (
     adjust_pruning_lower_bound,
@@ -69,4 +70,5 @@ __all__ = [
     "rnnt_loss_pruned",
     "rnnt_loss_pruned_simple",
     "rnnt_loss_simple_pruned",
+    "rnnt_loss_smoothed_pruned",
 ]

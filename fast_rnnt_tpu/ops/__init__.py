@@ -17,6 +17,7 @@ from .losses import (
     rnnt_loss_simple,
     rnnt_loss_simple_pruned,
     rnnt_loss_smoothed,
+    rnnt_loss_smoothed_pruned,
 )
 from .numerics import logaddexp, safe_exp
 from .pruning import adjust_pruning_lower_bound, do_rnnt_pruning, get_rnnt_prune_ranges
@@ -53,4 +54,5 @@ __all__ = [
     "rnnt_loss_simple",
     "rnnt_loss_simple_pruned",
     "rnnt_loss_smoothed",
+    "rnnt_loss_smoothed_pruned",
 ]

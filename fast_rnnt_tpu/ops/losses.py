@@ -41,6 +41,7 @@ __all__ = [
     "rnnt_loss_pruned_simple",
     "rnnt_loss_simple_pruned",
     "rnnt_loss_smoothed",
+    "rnnt_loss_smoothed_pruned",
 ]
 
 LossOrLossAndGrads = Union[
@@ -314,6 +315,67 @@ def rnnt_loss_simple_pruned(
         px=px_b, py=py_b, boundary=boundary, calc_gradients=False, impl=impl
     )
     return _reduce(neg_simple, reduction), _reduce(neg_pruned, reduction), ranges
+
+
+def rnnt_loss_smoothed_pruned(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    s_range: int,
+    lm_only_scale: float = 0.1,
+    am_only_scale: float = 0.1,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    impl: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused two-stage pipeline with a SMOOTHED first stage.
+
+    The reference's own test pipeline (simple_rnnt_loss_test.py:108-143)
+    runs rnnt_loss_smoothed(calc_gradients=True) -> get_rnnt_prune_ranges
+    -> do_rnnt_pruning -> rnnt_loss_pruned; this computes the same thing
+    for the additive joiner in one fused graph: the smoothed lattice
+    drives the ranges, the pruned stage is the band-masked SIMPLE lattice
+    (what the additive joiner produces), and the two constructions share
+    their normalizer matmul under CSE.
+
+    Returns (smoothed_loss, pruned_loss, ranges).
+    """
+    check_rnnt_inputs(
+        lm=lm, am=am, symbols=symbols,
+        termination_symbol=termination_symbol, boundary=boundary,
+    )
+    if boundary is None:
+        B, S = symbols.shape
+        T = am.shape[1]
+        boundary = jnp.broadcast_to(
+            jnp.array([0, 0, S, T], dtype=jnp.int32), (B, 4)
+        )
+    px_s, py_s = get_rnnt_logprobs_smoothed(
+        lm, am, symbols, termination_symbol,
+        lm_only_scale=lm_only_scale, am_only_scale=am_only_scale,
+        boundary=boundary, rnnt_type=rnnt_type,
+    )
+    px_s = _apply_delay_penalty(px_s, boundary, rnnt_type, delay_penalty)
+    neg_smoothed, (px_grad, py_grad) = mutual_information_recursion(
+        px=px_s, py=py_s, boundary=boundary, calc_gradients=True, impl=impl
+    )
+    ranges = get_rnnt_prune_ranges(px_grad, py_grad, boundary, s_range)
+
+    px_b, py_b = get_rnnt_logprobs_pruned_simple(
+        lm, am, symbols, ranges, termination_symbol, boundary, rnnt_type
+    )
+    px_b = _apply_delay_penalty(px_b, boundary, rnnt_type, delay_penalty)
+    neg_pruned = mutual_information_recursion(
+        px=px_b, py=py_b, boundary=boundary, calc_gradients=False, impl=impl
+    )
+    return (
+        _reduce(neg_smoothed, reduction),
+        _reduce(neg_pruned, reduction),
+        ranges,
+    )
 
 
 def rnnt_loss_smoothed(

@@ -376,3 +376,52 @@ def test_smoothed_no_nan_when_scales_sum_to_one():
         lm, am, symbols, 0, 0.5, 0.5, boundary, reduction="none"
     )
     assert np.all(np.isfinite(np.asarray(loss))), loss
+
+
+def test_fused_smoothed_pipeline_matches_reference_shaped():
+    """rnnt_loss_smoothed_pruned must equal the reference's own test
+    pipeline (simple_rnnt_loss_test.py:108-143): smoothed w/ grads ->
+    ranges -> do_rnnt_pruning -> rnnt_loss_pruned(am_p + lm_p)."""
+    from fast_rnnt_tpu import rnnt_loss_smoothed_pruned
+
+    rng = np.random.default_rng(202)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=12, S=6, C=16)
+    s_range = 3
+
+    sm, (gx, gy) = rnnt_loss_smoothed(
+        lm, am, symbols, 0, 0.25, 0.1, boundary,
+        reduction="none", calc_gradients=True,
+    )
+    ranges = get_rnnt_prune_ranges(gx, gy, boundary, s_range)
+    am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+    pr = rnnt_loss_pruned(
+        am_p + lm_p, symbols, ranges, 0, boundary, reduction="none"
+    )
+
+    sm2, pr2, r2 = rnnt_loss_smoothed_pruned(
+        lm, am, symbols, 0, s_range, 0.25, 0.1, boundary, reduction="none"
+    )
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(sm2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pr2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ranges), np.asarray(r2))
+
+    g1 = jax.grad(
+        lambda am, lm: jnp.sum(
+            rnnt_loss_pruned(
+                (lambda t: t[0] + t[1])(do_rnnt_pruning(am, lm, ranges)),
+                symbols, ranges, 0, boundary, reduction="none",
+            )
+        ),
+        argnums=(0, 1),
+    )(am, lm)
+    g2 = jax.grad(
+        lambda am, lm: jnp.sum(
+            rnnt_loss_smoothed_pruned(
+                lm, am, symbols, 0, s_range, 0.25, 0.1, boundary,
+                reduction="none",
+            )[1]
+        ),
+        argnums=(0, 1),
+    )(am, lm)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-3, atol=2e-4)
