@@ -33,6 +33,7 @@ from fast_rnnt_tpu.models import (
     greedy_search,
     init_model,
     make_train_step,
+    modified_beam_search,
 )
 from fast_rnnt_tpu.models.checkpoint import (
     latest_step,
@@ -127,6 +128,11 @@ def main():
     )(jnp.asarray(feats), jnp.asarray(flens))
     acc = token_accuracy(np.asarray(hyps), np.asarray(hlens), syms, slens)
     print(f"greedy-decode token accuracy on train batch: {acc:.1%}")
+    bh, bl = jax.jit(
+        lambda f, l: modified_beam_search(model, params, f, l, beam=4, max_len=16)
+    )(jnp.asarray(feats), jnp.asarray(flens))
+    bacc = token_accuracy(np.asarray(bh), np.asarray(bl), syms, slens)
+    print(f"beam-search (H=4) token accuracy on train batch: {bacc:.1%}")
     for b in range(min(3, len(syms))):
         sl, hl = int(slens[b]), int(np.asarray(hlens)[b])
         print(f"  ref: {list(syms[b][:sl])}\n  hyp: {list(np.asarray(hyps)[b][:hl])}")
