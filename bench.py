@@ -23,7 +23,7 @@ BASELINE_MB = 2647.8
 
 B, T, S, C = 30, 1000, 100, 500
 S_RANGE = 5
-WARMUP = 3
+TRIALS = 3  # timed n/3n slope-trial pairs (see utils.profiling)
 ITERS = 20
 
 
@@ -67,7 +67,7 @@ def main():
     # device-side timing loop: one dispatch runs ITERS full steps, so host
     # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —
     # this measures what a saturated input pipeline would see.
-    avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=WARMUP)
+    avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)
     avg_us = float(avg_s * 1e6)
 
     # peak HBM from XLA's compiled allocation analysis (exact; the remote

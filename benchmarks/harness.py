@@ -131,7 +131,15 @@ def model_step_bench(iters):
     def one(feats):
         b = (feats,) + batch[1:]
         p2, o2, metrics = step(params, opt_state, b)
-        return metrics["loss"]
+        # fold the UPDATED PARAMETERS into the result: returning only the
+        # loss lets XLA dead-code-eliminate the whole backward pass and
+        # optimizer update (verified via FLOP counts), silently turning the
+        # "train step" benchmark into a forward-only one
+        psum = sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(p2)
+        )
+        return metrics["loss"], psum
 
     dt = benchmark_on_device(one, batch[0], iters=iters)
     audio_s = B * T_in * 0.01

@@ -106,13 +106,14 @@ def main():
         params, opt_state = state["params"], state["opt_state"]
         print(f"resumed from step {start}")
 
+    # shard each distinct batch ONCE (re-transferring identical arrays every
+    # step would dominate on tunneled devices)
+    device_batches = [
+        shard_batch(tuple(jnp.asarray(x) for x in b), mesh) for b in batches
+    ]
     t0 = time.perf_counter()
     for i in range(start, args.steps):
-        feats, flens, syms, slens = batches[i % len(batches)]
-        batch = shard_batch(
-            (jnp.asarray(feats), jnp.asarray(flens),
-             jnp.asarray(syms), jnp.asarray(slens)), mesh
-        )
+        batch = device_batches[i % len(device_batches)]
         params, opt_state, metrics = step_fn(params, opt_state, batch)
         if i % 50 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(metrics['loss']):8.3f}  "

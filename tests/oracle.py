@@ -75,8 +75,6 @@ def mi_loop(px, py, boundary=None, ans_grad=None):
         g[se, te] = ans_grad[b]
         for s in range(se, sb - 1, -1):
             for t in range(te, tb - 1, -1):
-                if s == se and t == te:
-                    pass
                 here = p[s + 1, t + 1]
                 if here == NEG_INF:
                     continue

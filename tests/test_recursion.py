@@ -276,8 +276,10 @@ def test_fuzz_boundaries_incl_nonzero_begins():
         sb = rng.integers(0, S, size=B)
         se = rng.integers(sb + 1, S + 1, size=B) if S > 0 else sb
         tb = rng.integers(0, T // 2 + 1, size=B)
-        lo = np.maximum(tb + 1, se - sb)  # need enough frames for symbols
-        te = np.array([rng.integers(l, T + 1) if l <= T else T for l in lo])
+        # enough frames for a feasible alignment: modified consumes one
+        # frame per symbol, so te - tb >= se - sb (sufficient for regular too)
+        lo = np.minimum(tb + (se - sb), T)
+        te = np.array([rng.integers(max(l, 1), T + 1) for l in lo])
         boundary = np.stack([sb, tb, se, te], axis=1).astype(np.int32)
 
         ref_scores, ref_gx, ref_gy, _ = mi_loop(px, py, boundary)

@@ -56,7 +56,6 @@ def test_fused_lattice_paths_match_xla(monkeypatch):
     logits4 = jnp.asarray(rng.normal(size=(B, T, S + 1, C)).astype(np.float32))
     logitsp = jnp.asarray(rng.normal(size=(B, T, K, C)).astype(np.float32))
     symbols = jnp.asarray(rng.integers(0, C, size=(B, S)).astype(np.int32))
-    starts = np.minimum.accumulate((S - K + 1) * np.ones((B, T), np.int32)[:, ::-1], 1)[:, ::-1]
     ranges = jnp.asarray(
         np.minimum(np.arange(T)[None, :, None] // 2, S - K + 1) + np.arange(K)
     ).astype(jnp.int32) * jnp.ones((B, 1, 1), jnp.int32)
