@@ -425,3 +425,35 @@ def test_fused_smoothed_pipeline_matches_reference_shaped():
     )(am, lm)
     np.testing.assert_allclose(g1[0], g2[0], rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(g1[1], g2[1], rtol=1e-3, atol=2e-4)
+
+
+def test_bfloat16_inputs_mixed_precision():
+    """bf16 am/lm inputs (the production mixed-precision mode, ~1.5x faster
+    on TPU): the lattice promotes to fp32 where it matters (normalizer
+    einsums accumulate in fp32; the recursion runs fp32 after the f32
+    normalizer subtraction), so losses match fp32 to ~1e-3 relative and
+    grads stay finite."""
+    from fast_rnnt_tpu import rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(77)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=16, S=6, C=32)
+
+    def total(am, lm):
+        s, p, _ = rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum"
+        )
+        return 0.5 * s + p
+
+    l32, g32 = jax.value_and_grad(total, argnums=(0, 1))(am, lm)
+    lbf, gbf = jax.value_and_grad(total, argnums=(0, 1))(
+        am.astype(jnp.bfloat16), lm.astype(jnp.bfloat16)
+    )
+    np.testing.assert_allclose(
+        float(l32), float(lbf), rtol=2e-3
+    )
+    assert gbf[0].dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(gbf[0], np.float32)))
+    assert np.all(np.isfinite(np.asarray(gbf[1], np.float32)))
+    np.testing.assert_allclose(
+        np.asarray(g32[0]), np.asarray(gbf[0], np.float32), atol=0.05
+    )
