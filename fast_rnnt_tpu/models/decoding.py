@@ -27,6 +27,18 @@ from .transducer import PrunedTransducer, TransducerConfig
 __all__ = ["greedy_search", "modified_beam_search"]
 
 
+def _encode(model: PrunedTransducer, params: Any, features, feature_lens):
+    """Encoder + am projection only (the decode-time acoustic path; the
+    predictor/simple projections would be dead compute here)."""
+    return model.apply(
+        params,
+        features,
+        feature_lens,
+        method=lambda m, f, fl: (lambda enc_lens: (m.am_proj(enc_lens[0]),
+                                                   enc_lens[1]))(m.encoder(f, fl)),
+    )
+
+
 def _predictor_last(model: PrunedTransducer, params: Any, ctx: jax.Array):
     """lm projection rows for the CURRENT context: run the predictor on the
     rolling (B, k) symbol buffer and keep its last position.
@@ -61,14 +73,8 @@ def greedy_search(
     blank = cfg.blank_id
     k = max(cfg.predictor_context, 1)
 
-    # encode once; only the encoder + am projection are needed for decoding
-    am, out_lens = model.apply(
-        params,
-        features,
-        feature_lens,
-        method=lambda m, f, fl: (lambda enc_lens: (m.am_proj(enc_lens[0]),
-                                                   enc_lens[1]))(m.encoder(f, fl)),
-    )
+    # encode once
+    am, out_lens = _encode(model, params, features, feature_lens)
     B, T, _ = am.shape
 
     def join_logits(am_rows, lm_rows):
@@ -103,7 +109,7 @@ def greedy_search(
                 jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
                 ctx,
             )
-            return ctx, hyps, lens, emitting & take
+            return ctx, hyps, lens, take
 
         emitting = jnp.ones((B,), bool)
         ctx, hyps, lens, _ = jax.lax.fori_loop(
@@ -134,8 +140,8 @@ def modified_beam_search(
 
     Per frame each of the H live hypotheses expands over the full vocab
     (blank = stay, symbol = append); the top-H of the H*C candidates
-    survive.  All bookkeeping is top_k + one-hot-free gathers over an H
-    axis of ~4-8, so the whole search jits to a single XLA program.
+    survive.  All bookkeeping is top_k + gather-free one-hot contractions over an
+    H axis of ~4-8, so the whole search jits to a single XLA program.
 
     Returns (hyps, hyp_lens) for the best hypothesis per utterance:
     int32 (B, max_len) padded with blank, and (B,) lengths.
@@ -145,13 +151,7 @@ def modified_beam_search(
     k = max(cfg.predictor_context, 1)
     H = beam
 
-    am, out_lens = model.apply(
-        params,
-        features,
-        feature_lens,
-        method=lambda m, f, fl: (lambda enc_lens: (m.am_proj(enc_lens[0]),
-                                                   enc_lens[1]))(m.encoder(f, fl)),
-    )
+    am, out_lens = _encode(model, params, features, feature_lens)
     B, T, _ = am.shape
     C = cfg.vocab_size
 
@@ -165,7 +165,7 @@ def modified_beam_search(
         ).reshape(B, H, -1)
         logits = model.apply(
             params,
-            am_t[:, None, None, :].repeat(H, axis=1),  # (B,H,1,d)
+            am_t[:, None, None, :],  # (B,1,1,d), broadcasts against H
             lm_rows[:, :, None, :],
             method=PrunedTransducer.join,
         )[:, :, 0, :]  # (B,H,C)
@@ -211,6 +211,24 @@ def modified_beam_search(
             jnp.concatenate([new_ctx[:, :, 1:], sym[:, :, None]], axis=2),
             new_ctx,
         )
+
+        # merge beam slots holding IDENTICAL token sequences (icefall's
+        # modified_beam_search semantics): the lowest-index slot of each
+        # duplicate group absorbs the group's probability mass
+        # (logaddexp) and the rest drop to -inf — duplicates would
+        # otherwise split mass and shrink the effective beam.  Hyp
+        # buffers are blank-padded past lens, so whole-buffer equality
+        # plus equal lens identifies equal sequences; this also re-kills
+        # the initial all-identical -inf slots each frame.
+        same = (new_lens[:, :, None] == new_lens[:, None, :]) & jnp.all(
+            new_hyps[:, :, None, :] == new_hyps[:, None, :, :], axis=3
+        )  # (B, H, H), symmetric, diag True
+        hi = jnp.arange(H)
+        is_dup = jnp.any(same & (hi[None, :, None] < hi[None, None, :]), axis=1)
+        merged = jax.nn.logsumexp(
+            jnp.where(same, top_scores[:, None, :], -jnp.inf), axis=2
+        )
+        top_scores = jnp.where(is_dup, -jnp.inf, merged)
         return (top_scores, new_ctx, new_hyps, new_lens), None
 
     # beam slot 0 starts live, the rest at -inf so the first frame fans out
