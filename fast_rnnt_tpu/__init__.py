@@ -12,6 +12,7 @@ Public API parity with the reference package
 TPU-native extensions (parallel/, models/).
 """
 
+from .ops.alignment import viterbi_alignment, viterbi_scores
 from .ops.lattice import (
     fix_for_boundary,
     get_rnnt_logprobs,
@@ -71,4 +72,6 @@ __all__ = [
     "rnnt_loss_pruned_simple",
     "rnnt_loss_simple_pruned",
     "rnnt_loss_smoothed_pruned",
+    "viterbi_scores",
+    "viterbi_alignment",
 ]

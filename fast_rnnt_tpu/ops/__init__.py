@@ -1,3 +1,4 @@
+from .alignment import viterbi_alignment, viterbi_scores
 from .lattice import (
     band_mask_rows,
     fix_for_boundary,
@@ -29,6 +30,8 @@ from .recursion import (
 )
 
 __all__ = [
+    "viterbi_alignment",
+    "viterbi_scores",
     "logaddexp",
     "safe_exp",
     "cummin",
