@@ -122,3 +122,59 @@ def test_pruned_pipeline_under_pjit_sharding():
     args = shard_batch((lm, am, symbols, boundary), mesh)
     out = pipeline(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pipeline_under_shard_map():
+    """The flagship fused pipeline (rnnt_loss_simple_pruned) under an
+    explicit shard_map over the 8-device mesh matches single-device, and
+    its gradients survive the psum path."""
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(9)
+    lm, am, symbols, boundary = _inputs(rng, B=8)
+    mesh = make_mesh()
+
+    def local_loss(lm, am, symbols, boundary):
+        s, p, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum"
+        )
+        total = 0.5 * s + p
+        return jax.lax.psum(total, "data")
+
+    mapped = jax.jit(
+        jax.shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P(),
+        )
+    )
+    args = shard_batch((lm, am, symbols, boundary), mesh)
+    out = float(mapped(*args))
+    s_ref, p_ref, _ = frt.rnnt_loss_simple_pruned(
+        lm, am, symbols, 0, 3, boundary, reduction="sum"
+    )
+    np.testing.assert_allclose(out, float(0.5 * s_ref + p_ref), rtol=1e-4)
+
+    # gradients through the sharded pipeline
+    g = jax.jit(
+        jax.shard_map(
+            jax.grad(local_loss, argnums=(0, 1)),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+    )(*args)
+    def ref_loss(lm, am):
+        s, p, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum"
+        )
+        return 0.5 * s + p
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(lm, am)
+    np.testing.assert_allclose(
+        np.asarray(g[0]), np.asarray(g_ref[0]), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g[1]), np.asarray(g_ref[1]), rtol=1e-3, atol=1e-4
+    )
