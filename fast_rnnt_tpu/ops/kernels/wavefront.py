@@ -192,6 +192,13 @@ def forward_lattice_pallas(
     T = py.shape[2]
     modified = T1 == T
 
+    if S == 0:
+        # empty transcripts: a zero-row px makes the row BlockSpec
+        # degenerate; the single-row lattice is trivial for the XLA core
+        from ..recursion import _forward_lattice_xla
+
+        return _forward_lattice_xla(px, py, boundary)
+
     px, py = _apply_boundary_mask(px, py, boundary, modified)
 
     Tp1 = _ceil_to(T + 1, LANE)
@@ -253,9 +260,9 @@ def forward_lattice_pallas(
 
 
 def _bwd_kernel(
-    se_ref, te1h_ref, ag_ref, px_ref, py_ref, pcur_ref, pnext_ref,  # inputs
+    se_ref, te1h_ref, ag_ref, px_ref, py_ref, pcur_ref,  # inputs
     pxg_ref, pyg_ref,  # outputs
-    g_scratch,  # scratch
+    g_scratch, pnext_scratch,  # scratch
     *, S: int, modified: bool,
 ):
     s = S - pl.program_id(1)  # descending
@@ -263,11 +270,15 @@ def _bwd_kernel(
     px_row = px_ref[0]
     py_row = py_ref[0]
     p_cur = pcur_ref[0]
-    p_next = pnext_ref[0]
+    # rows descend, so last iteration's p_cur is this iteration's p[s+1]
+    # (carried in VMEM — streaming p twice from HBM would double the
+    # backward's traffic for its largest operand)
+    p_next = pnext_scratch[:, :]
 
     g_next = g_scratch[:, :]
     zeros = jnp.zeros_like(p_cur)
     g_next = jnp.where(s < S, g_next, zeros)
+    p_next = jnp.where(s < S, p_next, zeros)
 
     if modified:
         # term1[t] = safe_exp(p[s,t] + px[s,t] - p[s+1,t+1])
@@ -291,6 +302,7 @@ def _bwd_kernel(
     pxg_ref[0] = h_px
     pyg_ref[0] = term2 * _shift_left(g, 1, 0.0)
     g_scratch[:, :] = g
+    pnext_scratch[:, :] = p_cur
 
 
 def backward_lattice_pallas(
@@ -306,6 +318,13 @@ def backward_lattice_pallas(
     B, S, T1 = px.shape
     T = py.shape[2]
     modified = T1 == T
+
+    if S == 0:
+        # matches the S == 0 forward fallback (res is then the XLA-layout p)
+        from ..recursion import _backward_lattice_xla
+
+        p = res[0] if isinstance(res, tuple) else res
+        return _backward_lattice_xla(px, py, p, boundary, ans_grad)
 
     if isinstance(res, tuple):
         p_internal, px_t, py_t = res
@@ -348,7 +367,6 @@ def backward_lattice_pallas(
             row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),  # px row
             row_spec(lambda ib, s: (S - s, ib, 0)),  # py row
             row_spec(lambda ib, s: (S - s, ib, 0)),  # p row s
-            row_spec(lambda ib, s: (jnp.minimum(S - s + 1, S), ib, 0)),  # p row s+1
         ],
         out_specs=[
             row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),  # px_grad
@@ -358,9 +376,12 @@ def backward_lattice_pallas(
             _out_struct((S, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
             _out_struct((S + 1, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
         ],
-        scratch_shapes=[pltpu.VMEM((bblk, Tp1), dt)],
+        scratch_shapes=[
+            pltpu.VMEM((bblk, Tp1), dt),
+            pltpu.VMEM((bblk, Tp1), dt),
+        ],
         interpret=interpret,
-    )(se, te1h, ag, px_t, py_t, p_internal, p_internal)
+    )(se, te1h, ag, px_t, py_t, p_internal)
 
     px_grad = jnp.moveaxis(pxg_t, 0, 1)[:B, :, :T1]
     py_grad = jnp.moveaxis(pyg_t, 0, 1)[:B, :, :T]

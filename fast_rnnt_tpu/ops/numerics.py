@@ -78,10 +78,11 @@ def safe_exp(x: jax.Array) -> jax.Array:
     (mutual_information_cuda.cu:430-439): occupancy terms computed from
     -inf/-inf differences must contribute exactly zero gradient.
     """
-    # Clamp the argument so exp never overflows; anything that would have
-    # been inf/NaN becomes 0.
-    bad = jnp.isnan(x) | (x > 80.0)
-    return jnp.where(bad, 0.0, jnp.exp(jnp.where(bad, 0.0, jnp.minimum(x, 80.0))))
+    # Zero exactly the arguments whose exp would overflow fp32 (inf) or is
+    # NaN — the same set the reference's post-hoc isinf/isnan check zeroes
+    # (float32 exp overflows just above 88.72).
+    bad = jnp.isnan(x) | (x > 88.6)
+    return jnp.where(bad, 0.0, jnp.exp(jnp.where(bad, 0.0, x)))
 
 
 def _log_combine(left, right):

@@ -62,7 +62,17 @@ def _normalize_boundary(
     if boundary is None:
         row = jnp.array([0, 0, S, T], dtype=jnp.int32)
         return jnp.broadcast_to(row, (B, 4))
-    return boundary.astype(jnp.int32)
+    b = boundary.astype(jnp.int32)
+    # Clamp to the lattice so out-of-range values (e.g. an exclusive-vs-
+    # inclusive t_end off-by-one) behave identically in the XLA and Pallas
+    # implementations instead of silently diverging (XLA's gather clamps,
+    # the kernel's one-hot harvest would miss).  Opt-in hard validation is
+    # available via utils.validation.checkify_rnnt_inputs.
+    se = jnp.clip(b[:, 2], 0, S)
+    te = jnp.clip(b[:, 3], 0, T)
+    sb = jnp.clip(b[:, 0], 0, se)
+    tb = jnp.clip(b[:, 1], 0, te)
+    return jnp.stack([sb, tb, se, te], axis=1)
 
 
 def _apply_boundary_mask(
@@ -154,6 +164,57 @@ def _forward_lattice_xla(
     return p, scores
 
 
+def _forward_scores_xla(
+    px: jax.Array, py: jax.Array, boundary: jax.Array
+) -> jax.Array:
+    """Scores-only forward: identical recursion to _forward_lattice_xla but
+    the score is harvested into the scan carry, so the (B, S+1, T+1)
+    lattice is never materialized (no autodiff residual is needed on the
+    primal-only path; XLA cannot DCE the stacked rows around the final
+    gather itself)."""
+    B, S, T1 = px.shape
+    T = py.shape[2]
+    modified = T1 == T
+
+    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
+    px_t = jnp.moveaxis(px_m, 1, 0)
+    py_t = jnp.moveaxis(py_m, 1, 0)
+    pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
+    px_pad = jnp.concatenate([pad_row, px_t], axis=0)
+
+    sb = boundary[:, 0]
+    tb = boundary[:, 1]
+    se = boundary[:, 2]
+    te = boundary[:, 3]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (B, T + 1), 1)
+    source_t = t_iota == tb[:, None]
+    end_t = t_iota == te[:, None]
+    s_idx = jnp.arange(S + 1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        prev_p, best = carry
+        s, px_row, py_row = xs
+        if modified:
+            a = prev_p[:, :T] + px_row
+            a = jnp.pad(a, ((0, 0), (1, 0)), constant_values=NEG_INF)
+        else:
+            a = prev_p + px_row
+        src = jnp.where((s == sb)[:, None] & source_t, 0.0, NEG_INF).astype(a.dtype)
+        b = logaddexp(a, src)
+        coeff = jnp.pad(py_row, ((0, 0), (1, 0)), constant_values=NEG_INF)
+        p_row = log_linear_scan(coeff, b, axis=-1)
+        val = jnp.max(jnp.where(end_t, p_row, NEG_INF), axis=1)
+        best = jnp.where(s == se, val, best)
+        return (p_row, best), None
+
+    init = (
+        jax.lax.full_like(py_t, NEG_INF, shape=(B, T + 1)),
+        jnp.full((B,), NEG_INF, px.dtype),
+    )
+    (_, scores), _ = jax.lax.scan(step, init, (s_idx, px_pad, py_t))
+    return scores
+
+
 def _backward_lattice_xla(
     px: jax.Array,
     py: jax.Array,
@@ -235,6 +296,16 @@ _IMPL = {"xla": (_forward_lattice_xla, _backward_lattice_xla)}
 _DEFAULT_IMPL: Optional[str] = None  # resolved lazily (backend-dependent)
 
 
+def _register_pallas_lazy():
+    from .kernels import register
+
+    register(default=False)
+
+
+# implementations that self-register on first request
+_LAZY_IMPLS = {"pallas": _register_pallas_lazy}
+
+
 def register_impl(name, forward_fn, backward_fn, default: bool = False):
     """Register an alternative lattice implementation (e.g. the Pallas
     wavefront kernels in ops/kernels/)."""
@@ -256,15 +327,25 @@ def _resolve_default() -> str:
         impl = "xla"
         try:
             dev = jax.devices()[0]
-            if "tpu" in dev.platform.lower() or "TPU" in getattr(
+            on_tpu = "tpu" in dev.platform.lower() or "TPU" in getattr(
                 dev, "device_kind", ""
-            ):
-                from .kernels import register as _register_pallas
-
-                _register_pallas(default=False)
+            )
+        except RuntimeError:  # no backend available
+            on_tpu = False
+        if on_tpu:
+            try:
+                _LAZY_IMPLS["pallas"]()
                 impl = "pallas"
-        except Exception:  # no backend / kernels unavailable -> pure XLA
-            impl = "xla"
+            except ImportError as e:
+                # the headline kernel path being unavailable on TPU is
+                # worth a loud warning, not a silent 10x slowdown
+                import warnings
+
+                warnings.warn(
+                    f"Pallas lattice kernels unavailable ({e}); falling "
+                    "back to the pure-XLA implementation",
+                    RuntimeWarning,
+                )
         _DEFAULT_IMPL = impl
     return _DEFAULT_IMPL
 
@@ -272,12 +353,10 @@ def _resolve_default() -> str:
 def _get_impl(impl: Optional[str]):
     if impl is None or impl == "auto":
         impl = _resolve_default()
-    if impl == "pallas" and impl not in _IMPL:
+    if impl not in _IMPL and impl in _LAZY_IMPLS:
         # lazy-register on explicit request (auto-resolution registers only
         # on TPU backends)
-        from .kernels import register as _register_pallas
-
-        _register_pallas(default=False)
+        _LAZY_IMPLS[impl]()
     if impl not in _IMPL:
         raise ValueError(
             f"unknown mutual_information_recursion impl {impl!r}; "
@@ -295,6 +374,12 @@ def _float0_like(x):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _mi_scores(px, py, boundary, impl):
+    # primal-only path (no jax.grad): nothing needs the lattice residual,
+    # so the XLA impl can use the carry-harvest variant and skip
+    # materializing p entirely (the Pallas kernel writes p regardless)
+    resolved = impl if impl not in (None, "auto") else _resolve_default()
+    if resolved == "xla":
+        return _forward_scores_xla(px, py, boundary)
     fwd, _ = _get_impl(impl)
     _, scores = fwd(px, py, boundary)
     return scores
@@ -377,7 +462,10 @@ def mutual_information_recursion(
       calc_gradients: if True, additionally return the occupancy
         probabilities (px_grad, py_grad) — the gradients of ``scores.sum()``
         w.r.t. (px, py) — computed in the same fused pass and reused by
-        autodiff, mirroring tf_fast_rnnt_op.cc:89-111.
+        autodiff, mirroring tf_fast_rnnt_op.cc:89-111.  NOTE: like the
+        reference's registered gradient (__init__.py:154-162), the
+        occupancy outputs are NOT differentiable — cotangents flowing into
+        them are dropped; only the scores output propagates gradients.
       impl: lattice implementation: "xla" (associative-scan core),
         "pallas" (TPU wavefront kernel, once registered), or None/"auto".
 

@@ -111,3 +111,39 @@ def test_pallas_large_nondivisible_batch(B):
     np.testing.assert_allclose(
         np.asarray(gy_p), np.asarray(gy_x), rtol=1e-3, atol=1e-5
     )
+
+
+def test_pallas_empty_transcript_s0():
+    """S = 0 must not crash the kernels (they delegate the degenerate
+    single-row lattice to the XLA core)."""
+    rng = np.random.default_rng(5)
+    B, T = 3, 9
+    px = jnp.zeros((B, 0, T + 1), jnp.float32)
+    py = jnp.asarray(rng.normal(size=(B, 1, T)).astype(np.float32))
+    s_p, (gx, gy) = mutual_information_recursion(
+        px, py, None, calc_gradients=True, impl="pallas"
+    )
+    s_x = mutual_information_recursion(px, py, None, impl="xla")
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy.sum((1, 2))), T, rtol=1e-4)
+
+
+def test_out_of_range_boundary_clamped_consistently():
+    """Out-of-range boundary values (e.g. t_end = T + 1) are clamped to the
+    lattice, so the XLA and Pallas implementations agree instead of one
+    silently clamping a gather and the other returning -inf."""
+    rng = np.random.default_rng(6)
+    B, S, T = 2, 4, 7
+    px = jnp.asarray(rng.normal(size=(B, S, T + 1)).astype(np.float32))
+    py = jnp.asarray(rng.normal(size=(B, S + 1, T)).astype(np.float32))
+    bad = jnp.asarray(
+        np.array([[0, 0, S, T + 1], [-1, 0, S + 3, T]], np.int32)
+    )
+    good = jnp.asarray(np.array([[0, 0, S, T], [0, 0, S, T]], np.int32))
+    for impl in ("xla", "pallas"):
+        s_bad = mutual_information_recursion(px, py, bad, impl=impl)
+        s_good = mutual_information_recursion(px, py, good, impl=impl)
+        np.testing.assert_allclose(
+            np.asarray(s_bad), np.asarray(s_good), rtol=1e-5,
+            err_msg=f"impl={impl}",
+        )
