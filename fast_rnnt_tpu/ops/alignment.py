@@ -93,7 +93,8 @@ def viterbi_scores(
         return (v_row, best), None
 
     init_v = jax.lax.full_like(py_t, NEG_INF, shape=(B, T + 1))
-    init_best = jnp.full((B,), NEG_INF, px.dtype)
+    # full_like so the carry's varying-mesh-axes match under shard_map
+    init_best = jax.lax.full_like(py_t, NEG_INF, shape=(B,))
     (_, best), _ = jax.lax.scan(step, (init_v, init_best), (s_idx, px_pad, py_t))
     return best
 

@@ -209,7 +209,9 @@ def _forward_scores_xla(
 
     init = (
         jax.lax.full_like(py_t, NEG_INF, shape=(B, T + 1)),
-        jnp.full((B,), NEG_INF, px.dtype),
+        # full_like (not jnp.full) so the carry's varying-mesh-axes match
+        # the scan body's output under shard_map
+        jax.lax.full_like(py_t, NEG_INF, shape=(B,)),
     )
     (_, scores), _ = jax.lax.scan(step, init, (s_idx, px_pad, py_t))
     return scores
