@@ -124,6 +124,42 @@ def test_pruned_pipeline_under_pjit_sharding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_primal_scan_paths_under_shard_map():
+    """The scores-only recursion (carry-harvest scan) and viterbi_scores
+    must run under shard_map and match single-device.  Regression test for
+    the scan carry init: a carry built with jnp.full loses the operands'
+    varying-mesh-axes and fails shard_map carry-structure checking."""
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(12)
+    B, S, T = 8, 5, 9
+    px = jnp.asarray(rng.normal(size=(B, S, T + 1)).astype(np.float32))
+    py = jnp.asarray(rng.normal(size=(B, S + 1, T)).astype(np.float32))
+    boundary = jnp.stack(
+        [
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(rng.integers(1, S + 1, size=B), jnp.int32),
+            jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32),
+        ],
+        axis=1,
+    )
+    mesh = make_mesh()
+    specs = (P("data"), P("data"), P("data"))
+
+    for fn in (
+        lambda a, b, c: frt.mutual_information_recursion(a, b, c),
+        lambda a, b, c: frt.viterbi_scores(a, b, c),
+    ):
+        ref = fn(px, py, boundary)
+        out = jax.jit(
+            jax.shard_map(fn, mesh=mesh, in_specs=specs, out_specs=P("data"))
+        )(*shard_batch((px, py, boundary), mesh))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_fused_pipeline_under_shard_map():
     """The flagship fused pipeline (rnnt_loss_simple_pruned) under an
     explicit shard_map over the 8-device mesh matches single-device, and
