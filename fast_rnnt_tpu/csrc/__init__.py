@@ -44,9 +44,20 @@ def load_library() -> ctypes.CDLL:
         try:
             _build()
         except (OSError, subprocess.CalledProcessError):
-            # no compiler available: fall through and try any existing .so
+            # no compiler available: fall through and try any existing .so —
+            # but LOUDLY, since a stale binary can diverge from its source
+            # and parity tests against it would mislead silently
             if not os.path.exists(_LIB_PATH):
                 raise
+            import warnings
+
+            warnings.warn(
+                "fast_rnnt_tpu.csrc: rebuild failed and the existing "
+                f"{os.path.basename(_LIB_PATH)} is OLDER than the C++ "
+                "sources — loading the stale binary; native-oracle results "
+                "may not reflect the current source",
+                RuntimeWarning,
+            )
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

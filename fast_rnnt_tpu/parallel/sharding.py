@@ -142,20 +142,33 @@ def initialize_distributed(
     """Multi-host initialization (standard JAX runtime; no-op if already
     initialized or single-process).  Call once per host before building
     meshes that span hosts."""
+    # Structural no-op checks FIRST (not error-message sniffing, which is
+    # brittle across JAX versions): nothing to initialize single-process,
+    # and re-init of an already-initialized runtime is benign.
+    if coordinator_address is None and num_processes in (None, 1):
+        return
+    if _distributed_is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError) as e:
-        # Swallow ONLY the benign already-initialized / nothing-to-initialize
-        # cases.  A genuine multi-host init failure (bad coordinator address,
-        # firewalled port) must propagate — otherwise each host would fall
+    except (RuntimeError, ValueError):
+        # A racing/earlier init elsewhere in the process is the one benign
+        # failure left; anything else (bad coordinator address, firewalled
+        # port) must propagate — otherwise each host would silently fall
         # back to single-process and train without gradient sync.
-        msg = str(e).lower()
-        if "already initialized" in msg or "single process" in msg or (
-            coordinator_address is None and num_processes in (None, 1)
-        ):
+        if _distributed_is_initialized():
             return
         raise
+
+
+def _distributed_is_initialized() -> bool:
+    """True iff jax.distributed has a live client (structural check)."""
+    try:
+        return jax.distributed.is_initialized()
+    except AttributeError:  # older jax: inspect the global state object
+        state = getattr(jax.distributed, "global_state", None)
+        return getattr(state, "client", None) is not None

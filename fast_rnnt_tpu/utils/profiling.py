@@ -88,10 +88,14 @@ def benchmark_fn(
 
 
 def compiled_memory_mb(fn: Callable[..., Any], *args: Any) -> Dict[str, float]:
-    """Peak-HBM estimate from XLA's compiled memory analysis (exact program
-    allocation sizes, available even on remote tunnels where
-    ``device.memory_stats()`` is empty).  Returns MB figures; peak ~=
-    arguments + outputs + temporaries."""
+    """Compile-time peak-HBM UPPER BOUND from XLA's memory analysis
+    (available even on remote tunnels where ``device.memory_stats()`` is
+    empty).  ``peak_mb`` = arguments + outputs + temporaries - aliased:
+    these are XLA's actual allocation sizes for the program, but summing
+    them is an upper bound on the measured in-use peak (buffers whose live
+    ranges don't overlap aren't double-counted *within* the temp segment,
+    while argument/output buffers are counted whole).  Cross-check against
+    ``device_memory_stats()`` where the backend reports it."""
     comp = jax.jit(fn).lower(*args).compile()
     ma = comp.memory_analysis()
     mb = 1.0 / (1024 * 1024)
@@ -129,8 +133,9 @@ def benchmark_on_device(
     (~30 ms round-trip, independent of the program), so a single
     total/iters estimate is still polluted.  We therefore time the same
     program at ``iters`` and ``3*iters`` loop trips (trip count is a
-    runtime scalar — one compile) and report the slope
-    (t_3n - t_n) / (2n), which cancels every per-dispatch constant."""
+    runtime scalar — one compile) and report the MEDIAN over ``trials``
+    of the slope (t_3n - t_n) / (2n), which cancels every per-dispatch
+    constant and is robust to one-off tunnel hiccups."""
     import jax.numpy as jnp
 
     def default_perturb(i, *a):
@@ -164,9 +169,13 @@ def benchmark_on_device(
         float(jax.device_get(out))
         return time.perf_counter() - t0
 
-    best = float("inf")
+    slopes = []
     for _ in range(trials):
         t_n = run(n1)
         t_3n = run(n3)
-        best = min(best, max(t_3n - t_n, 0.0) / (2 * iters))
-    return best
+        slopes.append(max(t_3n - t_n, 0.0) / (2 * iters))
+    slopes.sort()
+    mid = len(slopes) // 2
+    if len(slopes) % 2:
+        return slopes[mid]
+    return 0.5 * (slopes[mid - 1] + slopes[mid])
