@@ -367,6 +367,34 @@ def _get_impl(impl: Optional[str]):
     return _IMPL[impl]
 
 
+def _resolve_impl_for_dtype(impl: Optional[str], dtype) -> Optional[str]:
+    """Dtype policy for the lattice implementations.
+
+    The Pallas kernels are float32-only by design: f64 is software-emulated
+    on TPU (the reference's double CUDA instantiations,
+    mutual_information_cuda.cu:1015-1036, have no TPU analogue) and sub-f32
+    floats would run the recursion itself at bf16 precision, which the
+    numerics contract (ops/numerics.py) does not cover.  So:
+
+      * auto/None: non-float32 inputs route to the dtype-generic XLA scan
+        core (f64-tested in tests/test_recursion.py) instead of "pallas".
+      * explicit impl="pallas" with a non-float32 dtype: loud TypeError —
+        never a silent downcast.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float32:
+        return impl
+    if impl in (None, "auto"):
+        resolved = _resolve_default()
+        return "xla" if resolved == "pallas" else resolved
+    if impl == "pallas":
+        raise TypeError(
+            f"impl='pallas' supports float32 only, got {dtype}; cast the "
+            "inputs or use impl='xla' (dtype-generic)"
+        )
+    return impl
+
+
 def _float0_like(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
@@ -442,12 +470,63 @@ _mi_with_grads.defvjp(_mi_with_grads_fwd, _mi_with_grads_bwd)
 # --- public API ---------------------------------------------------------------
 
 
+def occupancy_roundtrip_check(
+    px_grad: jax.Array,
+    py_grad: jax.Array,
+    boundary: jax.Array,
+    ans_grad: jax.Array,
+) -> jax.Array:
+    """Backward self-check: the total occupancy flowing out of the lattice
+    origin must equal the seeded score cotangent.
+
+    The backward recursion satisfies, for every cell,
+    ``g[s, t] = px_grad[s, t] + py_grad[s, t] + seed[s, t]`` with the seed
+    ``ans_grad`` at (s_end, t_end) — so at (s_begin, t_begin) the
+    round-trip ``g == ans_grad`` holds exactly when the backward is
+    consistent with the forward.  This is the reference kernel's
+    always-on debug identity (mutual_information_cuda.cu:510-514,756-758,
+    enabled by tf_fast_rnnt_op.cc:110), exposed here as an opt-in.
+
+    Returns the per-utterance absolute error ``|g[sb, tb] - ans_grad|``.
+    """
+    B, S, _ = px_grad.shape
+    T = py_grad.shape[2]
+    bidx = jnp.arange(B)
+    sb = boundary[:, 0]
+    tb = boundary[:, 1]
+    at_end = (sb == boundary[:, 2]) & (tb == boundary[:, 3])
+    # safe gathers: rows/cols past the array edge contribute 0 (no such arc)
+    px_part = jnp.where(
+        sb < S, px_grad[bidx, jnp.minimum(sb, S - 1), tb], 0.0
+    )
+    py_part = jnp.where(
+        tb < T, py_grad[bidx, sb, jnp.minimum(tb, T - 1)], 0.0
+    )
+    g0 = px_part + py_part + jnp.where(at_end, ans_grad, 0.0)
+    return jnp.abs(g0 - ans_grad)
+
+
+def _raise_on_roundtrip_error(err, tol):
+    import numpy as _np
+
+    err = _np.asarray(err)
+    if _np.any(~(err <= tol)):  # catches NaN too
+        raise FloatingPointError(
+            "mutual_information_recursion debug_self_check failed: backward "
+            f"round-trip error {err.max()} > tol {tol} for utterances "
+            f"{_np.nonzero(~(err <= tol))[0].tolist()} — the occupancy "
+            "backward is inconsistent with the forward (numerical overflow "
+            "or an implementation bug)"
+        )
+
+
 def mutual_information_recursion(
     px: jax.Array,
     py: jax.Array,
     boundary: Optional[jax.Array] = None,
     calc_gradients: bool = False,
     impl: Optional[str] = None,
+    debug_self_check: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, Tuple[jax.Array, jax.Array]]]:
     """Mutual-information recursion between pairs of sequences.
 
@@ -470,6 +549,14 @@ def mutual_information_recursion(
         them are dropped; only the scores output propagates gradients.
       impl: lattice implementation: "xla" (associative-scan core),
         "pallas" (TPU wavefront kernel, once registered), or None/"auto".
+        Non-float32 inputs auto-route to "xla" (the Pallas kernels are
+        f32-only; explicitly requesting them with f64 raises).
+      debug_self_check: if True, verify in-graph that the occupancy
+        backward round-trips the seeded cotangent through the lattice
+        origin (the reference's always-on kernel debug check,
+        mutual_information_cuda.cu:510-514) and raise FloatingPointError
+        from a host callback on violation.  Costs one extra backward pass
+        when calc_gradients=False; for production triage, not hot loops.
 
     Returns:
       scores [B], or (scores, (px_grad, py_grad)) if calc_gradients.
@@ -483,9 +570,25 @@ def mutual_information_recursion(
     boundary = _normalize_boundary(boundary, B, S, T)
     if boundary.shape != (B, 4):
         raise ValueError(f"boundary shape {boundary.shape} != ({B}, 4)")
-    if calc_gradients:
+    impl = _resolve_impl_for_dtype(impl, px.dtype)
+    if calc_gradients or debug_self_check:
         scores, px_grad, py_grad = _mi_with_grads(px, py, boundary, impl)
-        return scores, (px_grad, py_grad)
+        if debug_self_check:
+            err = occupancy_roundtrip_check(
+                px_grad, py_grad, boundary, jnp.ones_like(scores)
+            )
+            # fp32 occupancies on long lattices accumulate ~1e-3 round-off
+            tol = 1e-2 if px.dtype == jnp.float32 else 1e-8
+            if isinstance(err, jax.core.Tracer):
+                # under jit: raise from a host callback (backends without
+                # host-callback support, e.g. remote tunnels, should call
+                # this eagerly — it is a triage tool, not a hot-loop op)
+                jax.debug.callback(_raise_on_roundtrip_error, err, tol)
+            else:
+                _raise_on_roundtrip_error(np.asarray(err), tol)
+        if calc_gradients:
+            return scores, (px_grad, py_grad)
+        return scores
     return _mi_scores(px, py, boundary, impl)
 
 

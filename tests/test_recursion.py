@@ -300,3 +300,86 @@ def test_fuzz_boundaries_incl_nonzero_begins():
                 np.asarray(gy), ref_gy, rtol=1e-3, atol=1e-5,
                 err_msg=f"trial {trial} impl={impl}",
             )
+
+
+def test_f64_dtype_policy():
+    """f64 inputs: auto-dispatch must route to the dtype-generic XLA core
+    (never trace the f32-only Pallas kernels), and an explicit
+    impl="pallas" request must raise instead of silently downcasting."""
+    from fast_rnnt_tpu.ops import recursion as rec
+
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(3)
+        B, S, T = 2, 4, 7
+        px = jnp.asarray(rng.normal(size=(B, S, T + 1)) - 1.0)
+        py = jnp.asarray(rng.normal(size=(B, S + 1, T)) - 1.0)
+        assert px.dtype == jnp.float64
+
+        # force the auto default to "pallas" to prove the dtype reroute
+        old = rec._DEFAULT_IMPL
+        try:
+            rec._DEFAULT_IMPL = "pallas"
+            assert rec._resolve_impl_for_dtype(None, px.dtype) == "xla"
+            s = mutual_information_recursion(px, py, None)  # must not trace pallas
+            assert s.dtype == jnp.float64
+            ref_s, _, _, _ = mi_loop(px, py, None)
+            np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-12)
+        finally:
+            rec._DEFAULT_IMPL = old
+
+        with pytest.raises(TypeError, match="float32 only"):
+            mutual_information_recursion(px, py, None, impl="pallas")
+
+
+def test_debug_self_check_passes_and_fails():
+    """The opt-in backward round-trip check (the reference kernel's
+    always-on debug identity, mutual_information_cuda.cu:510-514): passes
+    on healthy inputs, raises when the occupancies are corrupted."""
+    from fast_rnnt_tpu.ops.recursion import (
+        occupancy_roundtrip_check,
+        _raise_on_roundtrip_error,
+    )
+
+    rng = np.random.default_rng(11)
+    B, S, T = 3, 5, 9
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = _random_boundary(rng, B, S, T)
+
+    # healthy: runs clean through both code paths (with/without grads out)
+    s1 = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        debug_self_check=True,
+    )
+    s2, (gx, gy) = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        calc_gradients=True, debug_self_check=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    # the identity itself: occupancies at the origin sum to the seed
+    err = occupancy_roundtrip_check(
+        gx, gy, jnp.asarray(boundary), jnp.ones((B,), jnp.float32)
+    )
+    assert float(jnp.max(err)) < 1e-3
+
+    # corrupted occupancies must trip the raiser
+    with pytest.raises(FloatingPointError, match="round-trip"):
+        _raise_on_roundtrip_error(np.array([0.0, 0.5]), 1e-2)
+    # NaN must also trip it
+    with pytest.raises(FloatingPointError, match="round-trip"):
+        _raise_on_roundtrip_error(np.array([np.nan]), 1e-2)
+
+
+def test_debug_self_check_degenerate_boundaries():
+    """Round-trip check on zero-length utterances: (sb,tb)==(se,te) makes
+    the origin the seed cell itself."""
+    B, S, T = 2, 3, 4
+    px = np.full((B, S, T + 1), -1.0, np.float32)
+    py = np.full((B, S + 1, T), -0.5, np.float32)
+    boundary = np.array([[1, 2, 1, 2], [0, 0, 3, 4]], np.int32)
+    s = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(boundary),
+        debug_self_check=True,
+    )
+    assert np.asarray(s).shape == (B,)
+    assert float(s[0]) == 0.0  # empty path scores 0
