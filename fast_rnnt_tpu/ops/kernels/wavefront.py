@@ -12,20 +12,29 @@ Instead (see ops/numerics.py for the math):
     launches the CUDA kernel (S+T)/32 times per direction, .cu:795-808).
   * within a row, the first-order recurrence over t is solved by an
     in-register Kogge-Stone scan: ceil(log2 T) rounds of shifted
-    log-semiring composes, each a full-width (B_blk, T_pad) VPU op.
+    log-semiring composes, each a full-width (B_blk, W) VPU op.
   * the backward runs the same structure with s descending, in ordinary
     (+, *) algebra, emitting px_grad / py_grad rows (the occupancy
     probabilities, eqs. 4a/4b of the reference derivation .cu:441-487).
 
-Layouts: rows are staged as (S+1, B_pad, T_pad) so every block is a
-(B_blk, T_pad) tile — sublane x lane aligned.  T is padded to a lane
-multiple with -inf (forward) which produces exact zeros in the backward.
+Round-2 rework — everything is masked INLINE and laid out s-major:
+
+  * inputs are (S, B, T)-major rows, UNPADDED: Pallas pads boundary
+    blocks implicitly and the kernels mask every lane from the boundary
+    scalars, so there is no XLA-side staging pass (the round-1 design
+    spent a full read+write over the lattice just transposing/padding
+    px/py into kernel layout).
+  * the boundary rectangle mask (the reference's -inf staging,
+    .cu:282-304) and the PRUNING-BAND mask (lo[b,t] <= s < lo[b,t]+K)
+    are computed in-register from (B,) scalars / a (B,T+1) int row —
+    the pruned stage no longer materializes a band-masked copy of the
+    lattice or pays its VJP select passes.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,26 +42,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..numerics import NEG_INF, logaddexp, safe_exp
-from ..recursion import _apply_boundary_mask, register_impl
 
-__all__ = ["forward_lattice_pallas", "backward_lattice_pallas", "register"]
+__all__ = [
+    "forward_rows_pallas",
+    "backward_rows_pallas",
+    "forward_lattice_pallas",
+    "backward_lattice_pallas",
+    "register",
+]
 
 LANE = 128
 SUBLANE = 8
+
+# interpret-mode default for this process (set by register(interpret=True)
+# in CPU test environments); explicit interpret= args override it.
+_INTERPRET = False
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_bblk(Bp: int) -> int:
-    """Largest batch block <= 4 sublanes' worth of rows that exactly divides
-    the padded batch — the grid uses Bp // bblk blocks, so bblk must divide
-    Bp or trailing batch rows would silently never be computed."""
-    for m in (4 * SUBLANE, 3 * SUBLANE, 2 * SUBLANE, SUBLANE):
-        if Bp % m == 0:
-            return m
-    return SUBLANE
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _out_struct(shape, dtype, *inputs):
@@ -135,123 +147,162 @@ def _rev_linear_scan_row(coeff, bias):
     return b
 
 
+def _row_masks(s_px, s_py, bvec, t, modified, lo, K):
+    """In-register validity masks for the px arcs of row ``s_px`` and the
+    py arcs of row ``s_py`` (the reference kernel's -inf staging +
+    boundary rectangle, mutual_information_cuda.cu:232-304; band-mask
+    semantics identical to lattice.band_mask_rows)."""
+    sb = bvec[:, 0:1]
+    tb = bvec[:, 1:2]
+    se = bvec[:, 2:3]
+    te = bvec[:, 3:4]
+    t_hi = te - 1 if modified else te
+    pxm = (s_px >= sb) & (s_px < se) & (t >= tb) & (t <= t_hi)
+    pym = (s_py >= sb) & (s_py <= se) & (t >= tb) & (t < te)
+    if lo is not None:
+        pxm &= (lo <= s_px) & (s_px < lo + K)
+        pym &= (lo <= s_py) & (s_py < lo + K)
+    return pxm, pym
+
+
 # -----------------------------------------------------------------------------
 # forward
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    sb_ref, se_ref, src_ref, te1h_ref, px_ref, py_ref,  # inputs
-    p_ref, scores_ref,  # outputs
-    prev_p,  # scratch
-    *, S: int, modified: bool,
-):
-    s = pl.program_id(1)
+def _fwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
+    if banded:
+        bvec_ref, lo_ref, px_ref, py_ref, p_ref, scores_ref, prev_p = refs
+        lo = lo_ref[...]
+    else:
+        bvec_ref, px_ref, py_ref, p_ref, scores_ref, prev_p = refs
+        lo = None
 
-    px_row = px_ref[0]  # (Bblk, Tp1); row s-1 (clamped at 0)
-    py_row = py_ref[0]  # (Bblk, Tp1); -inf padded at t >= T
+    s = pl.program_id(1)
+    bvec = bvec_ref[...]  # (bblk, 4) int32
+    pxr = px_ref[0]  # (bblk, W); row s-1 (clamped at 0)
+    pyr = py_ref[0]  # (bblk, W); row s
+    t = jax.lax.broadcasted_iota(jnp.int32, pxr.shape, 1)
+    pxm, pym = _row_masks(s - 1, s, bvec, t, modified, lo, K)
+
+    neg = jnp.full_like(pxr, NEG_INF)
+    px_eff = jnp.where(pxm, pxr, neg)
+    py_eff = jnp.where(pym, pyr, neg)
 
     prev = prev_p[:, :]
     if modified:
         # a[t] = p[s-1, t-1] + px[s-1, t-1]
-        a = _shift_right(prev + px_row, 1, NEG_INF)
+        a = _shift_right(prev + px_eff, 1, NEG_INF)
     else:
-        a = prev + px_row
-    neg = jnp.full_like(a, NEG_INF)
+        a = prev + px_eff
+    # row 0 has no incoming px arcs, and the prev_p scratch is garbage there
     a = jnp.where(s > 0, a, neg)
 
-    # origin injection: p[s_begin, t_begin] = 0
-    src = jnp.where((sb_ref[:, :] == s), src_ref[:, :], neg)
-    b = logaddexp(a, src)
+    # origin injection: p[s_begin, t_begin] = 0 (.cu:340-352)
+    src = jnp.where((bvec[:, 0:1] == s) & (t == bvec[:, 1:2]), 0.0, NEG_INF)
+    b = logaddexp(a, src.astype(a.dtype))
 
-    coeff = _shift_right(py_row, 1, NEG_INF)  # coeff[t] = py[s, t-1]
+    coeff = _shift_right(py_eff, 1, NEG_INF)  # coeff[t] = py[s, t-1]
     p_row = _log_scan_row(coeff, b)
 
     p_ref[0] = p_row
     prev_p[:, :] = p_row
 
     # scores[b] = p[s_end, t_end]: harvest when this row is the end row
-    val = jnp.max(jnp.where(te1h_ref[:, :] > 0, p_row, NEG_INF), axis=1,
-                  keepdims=True)
+    val = jnp.max(
+        jnp.where(t == bvec[:, 3:4], p_row, neg), axis=1, keepdims=True
+    )
 
     @pl.when(s == 0)
     def _():
         scores_ref[:, :] = jnp.full_like(scores_ref[:, :], NEG_INF)
 
-    hit = se_ref[:, :] == s
+    hit = bvec[:, 2:3] == s
     scores_ref[:, :] = jnp.where(hit, val, scores_ref[:, :])
 
 
-def forward_lattice_pallas(
-    px: jax.Array, py: jax.Array, boundary: jax.Array, interpret: bool = False
-) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array]:
-    """Forward lattice on TPU.  Returns (res, scores[B]) where res =
-    (p_internal, px_staged, py_staged) — the (S+1, B_pad, T_pad) stagings
-    reused by the backward so px/py are masked/padded/transposed once."""
-    B, S, T1 = px.shape
-    T = py.shape[2]
+def forward_rows_pallas(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward lattice on TPU, s-major.
+
+    Args:
+      px_rows: (S, B, T+1) regular / (S, B, T) modified — UNMASKED.
+      py_rows: (S+1, B, T) — unmasked.
+      boundary: (B, 4) int32.
+      lo: optional (B, T) pruning-band lower bounds (ranges[:, :, 0]); with
+        static width ``K`` the recursion sees the band-masked lattice
+        without one ever being materialized.
+
+    Returns (p_rows, scores): p_rows is the (S+1, B, W) lane-padded
+    internal lattice (the backward's residual), scores is [B].
+    """
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
     modified = T1 == T
+    if interpret is None:
+        interpret = _INTERPRET
 
     if S == 0:
         # empty transcripts: a zero-row px makes the row BlockSpec
         # degenerate; the single-row lattice is trivial for the XLA core
-        from ..recursion import _forward_lattice_xla
+        from ..recursion import _forward_rows_xla
 
-        return _forward_lattice_xla(px, py, boundary)
+        return _forward_rows_xla(px_rows, py_rows, boundary, lo=lo, K=K)
 
-    px, py = _apply_boundary_mask(px, py, boundary, modified)
-
-    Tp1 = _ceil_to(T + 1, LANE)
-    Bp = _ceil_to(B, SUBLANE)
-    bblk = _pick_bblk(Bp)
-
-    dt = px.dtype
-    px_t = jnp.full((S, Bp, Tp1), NEG_INF, dt).at[:, :B, :T1].set(
-        jnp.moveaxis(px, 1, 0)
-    )
-    py_t = jnp.full((S + 1, Bp, Tp1), NEG_INF, dt).at[:, :B, :T].set(
-        jnp.moveaxis(py, 1, 0)
-    )
-    sb = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 0:1].astype(jnp.int32))
-    se = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 2:3].astype(jnp.int32))
-    t_iota = jnp.arange(Tp1, dtype=jnp.int32)[None, :]
-    tb = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 1:2].astype(jnp.int32))
-    te = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 3:4].astype(jnp.int32))
-    src = jnp.where(t_iota == tb, 0.0, NEG_INF).astype(dt)  # (Bp, Tp1)
-    te1h = (t_iota == te).astype(dt)  # (Bp, Tp1)
-
-    nb = Bp // bblk
+    W = _ceil_to(T + 1, LANE)
+    bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
+    nb = _cdiv(B, bblk)
     grid = (nb, S + 1)
+    dt = px_rows.dtype
 
-    row_spec = lambda imap: pl.BlockSpec((1, bblk, Tp1), imap, memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((bblk, Tp1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+    bvec = boundary.astype(jnp.int32)  # (B, 4)
+    row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
+    bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+    score_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fwd_kernel, S=S, modified=modified)
-    p_internal, scores_pad = pl.pallas_call(
+    banded = lo is not None
+    inputs = [bvec]
+    in_specs = [bvec_spec]
+    if banded:
+        # edge-pad to width T+1 so the regular px column t = T sees the last
+        # frame's band (band_mask_rows does the same edge pad)
+        lo_ext = jnp.pad(lo.astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
+        inputs.append(lo_ext)
+        in_specs.append(
+            pl.BlockSpec((bblk, W), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+        )
+    inputs += [px_rows, py_rows]
+    in_specs += [
+        row_spec(lambda ib, s: (jnp.maximum(s - 1, 0), ib, 0)),  # px row s-1
+        row_spec(lambda ib, s: (s, ib, 0)),  # py row s
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel, S=S, modified=modified, banded=banded, K=K
+    )
+    p_rows, scores_pad = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            vec_spec,  # sb
-            vec_spec,  # se
-            mat_spec,  # src
-            mat_spec,  # te1h
-            row_spec(lambda ib, s: (jnp.maximum(s - 1, 0), ib, 0)),  # px row s-1
-            row_spec(lambda ib, s: (s, ib, 0)),  # py row s
-        ],
+        in_specs=in_specs,
         out_specs=[
             row_spec(lambda ib, s: (s, ib, 0)),  # p row s
-            vec_spec,  # scores
+            score_spec,
         ],
         out_shape=[
-            _out_struct((S + 1, Bp, Tp1), dt, px_t, py_t, boundary),
-            _out_struct((Bp, 1), dt, px_t, py_t, boundary),
+            _out_struct((S + 1, B, W), dt, px_rows, py_rows, boundary),
+            _out_struct((B, 1), dt, px_rows, py_rows, boundary),
         ],
-        scratch_shapes=[pltpu.VMEM((bblk, Tp1), dt)],
+        scratch_shapes=[pltpu.VMEM((bblk, W), dt)],
         interpret=interpret,
-    )(sb, se, src, te1h, px_t, py_t)
+    )(*inputs)
 
-    return (p_internal, px_t, py_t), scores_pad[:B, 0]
+    return p_rows, scores_pad[:, 0]
 
 
 # -----------------------------------------------------------------------------
@@ -259,44 +310,51 @@ def forward_lattice_pallas(
 # -----------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    se_ref, te1h_ref, ag_ref, px_ref, py_ref, pcur_ref,  # inputs
-    pxg_ref, pyg_ref,  # outputs
-    g_scratch, pnext_scratch,  # scratch
-    *, S: int, modified: bool,
-):
-    s = S - pl.program_id(1)  # descending
+def _bwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
+    if banded:
+        bvec_ref, lo_ref, ag_ref, px_ref, py_ref, pcur_ref, pxg_ref, pyg_ref, \
+            g_scratch, pnext_scratch = refs
+        lo = lo_ref[...]
+    else:
+        bvec_ref, ag_ref, px_ref, py_ref, pcur_ref, pxg_ref, pyg_ref, \
+            g_scratch, pnext_scratch = refs
+        lo = None
 
-    px_row = px_ref[0]
-    py_row = py_ref[0]
+    s = S - pl.program_id(1)  # descending
+    bvec = bvec_ref[...]
+    pxr = px_ref[0]  # row min(s, S-1); masked off entirely when s == S
+    pyr = py_ref[0]  # row s
     p_cur = pcur_ref[0]
+    t = jax.lax.broadcasted_iota(jnp.int32, pxr.shape, 1)
+    # px arcs OUT of row s (s -> s+1): valid iff s in [sb, se)
+    pxm, pym = _row_masks(s, s, bvec, t, modified, lo, K)
+
+    neg = jnp.full_like(pxr, NEG_INF)
+    px_eff = jnp.where(pxm, pxr, neg)
+    py_eff = jnp.where(pym, pyr, neg)
+
     # rows descend, so last iteration's p_cur is this iteration's p[s+1]
     # (carried in VMEM — streaming p twice from HBM would double the
     # backward's traffic for its largest operand)
-    p_next = pnext_scratch[:, :]
-
-    g_next = g_scratch[:, :]
     zeros = jnp.zeros_like(p_cur)
-    g_next = jnp.where(s < S, g_next, zeros)
-    p_next = jnp.where(s < S, p_next, zeros)
+    g_next = jnp.where(s < S, g_scratch[:, :], zeros)
+    p_next = jnp.where(s < S, pnext_scratch[:, :], zeros)
 
     if modified:
         # term1[t] = safe_exp(p[s,t] + px[s,t] - p[s+1,t+1])
-        term1 = safe_exp(p_cur + px_row - _shift_left(p_next, 1, 0.0))
+        term1 = safe_exp(p_cur + px_eff - _shift_left(p_next, 1, 0.0))
         h_px = term1 * _shift_left(g_next, 1, 0.0)
-        h = h_px
     else:
-        term1 = safe_exp(p_cur + px_row - p_next)
+        term1 = safe_exp(p_cur + px_eff - p_next)
         h_px = term1 * g_next
-        h = h_px
-    h = jnp.where(s < S, h, zeros)
-    h_px = jnp.where(s < S, h_px, zeros)
 
-    seed = jnp.where(se_ref[:, :] == s, ag_ref[:, :], 0.0) * te1h_ref[:, :]
-    b = h + seed
+    seed = jnp.where(
+        (bvec[:, 2:3] == s) & (t == bvec[:, 3:4]), ag_ref[:, :], 0.0
+    )
+    b = h_px + seed.astype(h_px.dtype)
 
-    # term2[t] = safe_exp(p[s,t] + py[s,t] - p[s,t+1]); py pad lanes are -inf
-    term2 = safe_exp(p_cur + py_row - _shift_left(p_cur, 1, 0.0))
+    # term2[t] = safe_exp(p[s,t] + py[s,t] - p[s,t+1])
+    term2 = safe_exp(p_cur + py_eff - _shift_left(p_cur, 1, 0.0))
     g = _rev_linear_scan_row(term2, b)
 
     pxg_ref[0] = h_px
@@ -305,92 +363,131 @@ def _bwd_kernel(
     pnext_scratch[:, :] = p_cur
 
 
+def backward_rows_pallas(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    p_rows: jax.Array,
+    boundary: jax.Array,
+    ans_grad: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Occupancy/backward lattice on TPU, s-major; consumes the padded
+    p_rows residual from forward_rows_pallas.  Returns (px_grad_rows,
+    py_grad_rows) in the unpadded s-major input shapes."""
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    modified = T1 == T
+    if interpret is None:
+        interpret = _INTERPRET
+
+    if S == 0:
+        from ..recursion import _backward_rows_xla
+
+        return _backward_rows_xla(
+            px_rows, py_rows, p_rows, boundary, ans_grad, lo=lo, K=K
+        )
+
+    W = p_rows.shape[2]
+    bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
+    nb = _cdiv(B, bblk)
+    grid = (nb, S + 1)
+    dt = px_rows.dtype
+
+    bvec = boundary.astype(jnp.int32)
+    ag = ans_grad.astype(dt)[:, None]  # (B, 1)
+
+    row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
+    bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+
+    banded = lo is not None
+    inputs = [bvec]
+    in_specs = [bvec_spec]
+    if banded:
+        lo_ext = jnp.pad(lo.astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
+        inputs.append(lo_ext)
+        in_specs.append(
+            pl.BlockSpec((bblk, W), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
+        )
+    inputs += [ag, px_rows, py_rows, p_rows]
+    in_specs += [
+        ag_spec,
+        row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),  # px row
+        row_spec(lambda ib, s: (S - s, ib, 0)),  # py row
+        row_spec(lambda ib, s: (S - s, ib, 0)),  # p row s
+    ]
+
+    kernel = functools.partial(
+        _bwd_kernel, S=S, modified=modified, banded=banded, K=K
+    )
+    pxg_rows, pyg_rows = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            # the s = S iteration writes an all-zero row into slot S-1,
+            # overwritten by the s = S-1 iteration (grid is sequential)
+            row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),
+            row_spec(lambda ib, s: (S - s, ib, 0)),
+        ],
+        out_shape=[
+            _out_struct((S, B, T1), dt, px_rows, py_rows, p_rows, ans_grad),
+            _out_struct((S + 1, B, T), dt, px_rows, py_rows, p_rows, ans_grad),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bblk, W), dt),
+            pltpu.VMEM((bblk, W), dt),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    return pxg_rows, pyg_rows
+
+
+# -----------------------------------------------------------------------------
+# legacy (B, S, T)-major adapters + impl registration
+# -----------------------------------------------------------------------------
+
+
+def forward_lattice_pallas(
+    px: jax.Array, py: jax.Array, boundary: jax.Array, interpret: Optional[bool] = None
+):
+    """(B, S, T)-major adapter: transpose in, run the s-major kernel.
+    Returns (p_rows_residual, scores)."""
+    p_rows, scores = forward_rows_pallas(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), boundary,
+        interpret=interpret,
+    )
+    return p_rows, scores
+
+
 def backward_lattice_pallas(
     px: jax.Array,
     py: jax.Array,
     res,
     boundary: jax.Array,
     ans_grad: jax.Array,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Occupancy/backward lattice on TPU; consumes the staged residuals from
-    forward_lattice_pallas.  Returns (px_grad, py_grad) in public layout."""
-    B, S, T1 = px.shape
-    T = py.shape[2]
-    modified = T1 == T
-
-    if S == 0:
-        # matches the S == 0 forward fallback (res is then the XLA-layout p)
-        from ..recursion import _backward_lattice_xla
-
-        p = res[0] if isinstance(res, tuple) else res
-        return _backward_lattice_xla(px, py, p, boundary, ans_grad)
-
-    if isinstance(res, tuple):
-        p_internal, px_t, py_t = res
-    else:  # direct call with a bare p staging: restage px/py here
-        p_internal = res
-        px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
-        _, Bp0, Tp10 = p_internal.shape
-        px_t = jnp.full((S, Bp0, Tp10), NEG_INF, px.dtype).at[:, :B, :T1].set(
-            jnp.moveaxis(px_m, 1, 0)
-        )
-        py_t = jnp.full((S + 1, Bp0, Tp10), NEG_INF, py.dtype).at[:, :B, :T].set(
-            jnp.moveaxis(py_m, 1, 0)
-        )
-
-    S1p, Bp, Tp1 = p_internal.shape
-    bblk = _pick_bblk(Bp)
-
-    dt = px.dtype
-    se = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 2:3].astype(jnp.int32))
-    te = jnp.zeros((Bp, 1), jnp.int32).at[:B].set(boundary[:, 3:4].astype(jnp.int32))
-    t_iota = jnp.arange(Tp1, dtype=jnp.int32)[None, :]
-    te1h = (t_iota == te).astype(dt)
-    ag = jnp.zeros((Bp, 1), dt).at[:B, 0].set(ans_grad.astype(dt))
-
-    nb = Bp // bblk
-    grid = (nb, S + 1)
-
-    row_spec = lambda imap: pl.BlockSpec((1, bblk, Tp1), imap, memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((bblk, Tp1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_bwd_kernel, S=S, modified=modified)
-    pxg_t, pyg_t = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            vec_spec,  # se
-            mat_spec,  # te one-hot
-            vec_spec,  # ans_grad
-            row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),  # px row
-            row_spec(lambda ib, s: (S - s, ib, 0)),  # py row
-            row_spec(lambda ib, s: (S - s, ib, 0)),  # p row s
-        ],
-        out_specs=[
-            row_spec(lambda ib, s: (jnp.minimum(S - s, S - 1), ib, 0)),  # px_grad
-            row_spec(lambda ib, s: (S - s, ib, 0)),  # py_grad
-        ],
-        out_shape=[
-            _out_struct((S, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
-            _out_struct((S + 1, Bp, Tp1), dt, px_t, py_t, p_internal, ans_grad),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bblk, Tp1), dt),
-            pltpu.VMEM((bblk, Tp1), dt),
-        ],
-        interpret=interpret,
-    )(se, te1h, ag, px_t, py_t, p_internal)
-
-    px_grad = jnp.moveaxis(pxg_t, 0, 1)[:B, :, :T1]
-    py_grad = jnp.moveaxis(pyg_t, 0, 1)[:B, :, :T]
-    return px_grad, py_grad
+    """(B, S, T)-major adapter around backward_rows_pallas."""
+    pxg_rows, pyg_rows = backward_rows_pallas(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), res, boundary,
+        ans_grad, interpret=interpret,
+    )
+    return jnp.moveaxis(pxg_rows, 0, 1), jnp.moveaxis(pyg_rows, 0, 1)
 
 
 def register(default: bool = False, interpret: bool = False) -> None:
     """Register the Pallas kernels as the "pallas" implementation of
-    mutual_information_recursion (see ops/recursion.py:register_impl)."""
+    mutual_information_recursion (see ops/recursion.py:register_impl).
+    Also sets the process-default interpret mode for the s-major entry
+    points (CPU test environments pass interpret=True)."""
+    global _INTERPRET
+    _INTERPRET = interpret
+    from ..recursion import register_impl
+
     fwd = functools.partial(forward_lattice_pallas, interpret=interpret)
     bwd = functools.partial(backward_lattice_pallas, interpret=interpret)
     register_impl("pallas", fwd, bwd, default=default)

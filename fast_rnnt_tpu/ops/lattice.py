@@ -27,12 +27,15 @@ from .numerics import NEG_INF
 
 __all__ = [
     "band_mask_rows",
+    "band_mask_rows_smajor",
     "fix_for_boundary",
     "get_rnnt_logprobs",
     "get_rnnt_logprobs_joint",
+    "get_rnnt_logprobs_rows",
     "get_rnnt_logprobs_pruned",
     "get_rnnt_logprobs_pruned_simple",
     "get_rnnt_logprobs_smoothed",
+    "get_rnnt_logprobs_smoothed_rows",
     "matmul_precision",
     "roll_by_shifts",
     "scatter_window",
@@ -192,6 +195,88 @@ def get_rnnt_logprobs(
         px = fix_for_boundary(px, boundary)
     elif rnnt_type == "constrained":
         px = px + py[:, 1:, :]
+    return px, py
+
+
+def get_rnnt_logprobs_rows(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    rnnt_type: str = "regular",
+    boundary: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """s-major variant of :func:`get_rnnt_logprobs`: returns
+    ``px_rows`` [S, B, T(+1)] and ``py_rows`` [S+1, B, T].
+
+    The fused pipelines and the Pallas kernels consume rows in exactly
+    this layout, so building it directly (einsums emit "sbt") removes the
+    transpose/staging pass the round-1 design paid between the lattice
+    build and every kernel call.  Numerically identical to
+    ``moveaxis(get_rnnt_logprobs(...), 1, 0)``.
+    """
+    _check_rnnt_type(rnnt_type)
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+
+    # stability shifts only: gradient contributions cancel exactly (see
+    # get_rnnt_logprobs)
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
+    am_probs = jnp.exp(am - am_max)
+    lm_probs = jnp.exp(lm - lm_max)
+    normalizers = jnp.log(
+        jnp.einsum(
+            "bsc,btc->sbt", lm_probs, am_probs,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
+        )
+        + _TINY
+    )  # (S+1, B, T)
+    normalizers = (
+        normalizers
+        + jnp.moveaxis(lm_max, 0, 1)          # (S+1, B, 1)
+        + jnp.transpose(am_max, (2, 0, 1))    # (1, B, T)
+    )
+
+    onehot = _symbol_onehot(symbols, C, am.dtype)  # [B, S, C]
+    px_am = jnp.einsum(
+        "bsc,btc->sbt", onehot, am, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )  # (S, B, T)
+    px_lm = jnp.moveaxis(
+        jnp.sum(lm[:, :S, :] * onehot, axis=2, keepdims=True), 0, 1
+    )  # (S, B, 1)
+    px = px_am + px_lm
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jax.lax.full_like(px, NEG_INF, shape=(S, B, 1))], axis=2
+        )  # (S, B, T+1)
+        norm_px = jnp.concatenate(
+            [
+                normalizers[:S],
+                jax.lax.full_like(normalizers, 0.0, shape=(S, B, 1)),
+            ],
+            axis=2,
+        )
+    else:
+        norm_px = normalizers[:S]
+    px = px - norm_px
+
+    py_am = jnp.transpose(
+        am[:, :, termination_symbol][:, :, None], (2, 0, 1)
+    )  # (1, B, T)
+    py_lm = jnp.moveaxis(
+        lm[:, :, termination_symbol][:, :, None], 0, 1
+    )  # (S+1, B, 1)
+    py = py_am + py_lm - normalizers
+
+    if rnnt_type == "regular" and boundary is not None:
+        # fix_for_boundary, s-major: px[:, b, boundary[b, 3]] = -inf
+        t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T + 1), 2)
+        px = jnp.where(t == boundary[:, 3][None, :, None], NEG_INF, px)
+    elif rnnt_type == "constrained":
+        px = px + py[1:]
     return px, py
 
 
@@ -452,6 +537,19 @@ def get_rnnt_logprobs_pruned_simple(
     return px, py
 
 
+def band_mask_rows_smajor(x_rows: jax.Array, lo: jax.Array, K: int) -> jax.Array:
+    """s-major :func:`band_mask_rows`: mask (S', B, T') rows to -inf outside
+    ``lo[b, t] <= s < lo[b, t] + K`` (edge-padding lo for a regular px's
+    extra t = T column)."""
+    Sx, B, T1 = x_rows.shape
+    lo = lo.astype(jnp.int32)
+    if T1 == lo.shape[1] + 1:
+        lo = jnp.pad(lo, ((0, 0), (0, 1)), mode="edge")
+    lo3 = lo[None, :, :]  # (1, B, T')
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (Sx, 1, 1), 0)
+    return jnp.where((s_i >= lo3) & (s_i < lo3 + K), x_rows, NEG_INF)
+
+
 def band_mask_rows(x: jax.Array, ranges: jax.Array) -> jax.Array:
     """Mask rows of x [B, S', T'] to -inf outside the pruning band
     ranges[b, t, 0] <= s < ranges[b, t, 0] + K.  For "regular" px, whose
@@ -465,6 +563,131 @@ def band_mask_rows(x: jax.Array, ranges: jax.Array) -> jax.Array:
     lo = lo[:, None, :]  # [B, 1, T']
     s_i = jax.lax.broadcasted_iota(jnp.int32, (1, Sx, 1), 1)
     return jnp.where((s_i >= lo) & (s_i < lo + K), x, NEG_INF)
+
+
+def get_rnnt_logprobs_smoothed_rows(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    lm_only_scale: float = 0.1,
+    am_only_scale: float = 0.1,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+) -> Tuple[jax.Array, jax.Array]:
+    """s-major variant of :func:`get_rnnt_logprobs_smoothed` (same math,
+    (S, B, T)-major outputs feeding the rows recursion directly)."""
+    _check_rnnt_type(rnnt_type)
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))
+    am_probs = jnp.exp(am - am_max)
+    lm_probs = jnp.exp(lm - lm_max)
+    normalizers = jnp.log(
+        jnp.einsum(
+            "bsc,btc->sbt", lm_probs, am_probs,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
+        )
+        + _TINY
+    )
+    am_max_r = jnp.transpose(am_max, (2, 0, 1))  # (1, B, T)
+    lm_max_r = jnp.moveaxis(lm_max, 0, 1)  # (S+1, B, 1)
+    normalizers = normalizers + lm_max_r + am_max_r  # (S+1, B, T)
+
+    # Unigram LM: average of per-position normalized lm probs over (B, S+1)
+    # — including padding positions, to match the reference exactly
+    # (rnnt_loss.py:1279-1280).
+    lmonly_normalizers = jnp.sum(lm_probs, axis=2, keepdims=True)  # (B, S+1, 1)
+    unigram_lm = (
+        jnp.mean(lm_probs / lmonly_normalizers, axis=(0, 1), keepdims=True) + _TINY
+    )  # (1, 1, C)
+    amonly_normalizers = (
+        jnp.log(
+            jnp.einsum(
+                "btc,c->bt", am_probs, unigram_lm[0, 0],
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(),
+            )
+        )[None, :, :]
+        + am_max_r
+    )  # (1, B, T)
+    unigram_lm = jnp.log(unigram_lm)
+    lmonly_normalizers = (
+        jnp.moveaxis(jnp.log(lmonly_normalizers), 0, 1) + lm_max_r
+    )  # (S+1, B, 1)
+
+    onehot = _symbol_onehot(symbols, C, lm.dtype)  # (B, S, C)
+    px_am = jnp.einsum(
+        "bsc,btc->sbt", onehot, am, preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )  # (S, B, T)
+    px_lm = jnp.moveaxis(
+        jnp.sum(lm[:, :S, :] * onehot, axis=2, keepdims=True), 0, 1
+    )  # (S, B, 1)
+    px_lm_unigram = jnp.moveaxis(
+        jnp.sum(unigram_lm * onehot, axis=2, keepdims=True), 0, 1
+    )  # (S, B, 1)
+
+    if rnnt_type == "regular":
+        px_am = jnp.concatenate(
+            [px_am, jax.lax.full_like(px_am, NEG_INF, shape=(S, B, 1))], axis=2
+        )
+        zero_col = jax.lax.full_like(normalizers, 0.0, shape=(S, B, 1))
+        norm_px = jnp.concatenate([normalizers[:S], zero_col], axis=2)
+        amonly_px = jnp.concatenate(
+            [
+                jnp.broadcast_to(amonly_normalizers, (S, B, T)),
+                zero_col,
+            ],
+            axis=2,
+        )
+    else:
+        norm_px = normalizers[:S]
+        amonly_px = jnp.broadcast_to(amonly_normalizers, (S, B, T))
+
+    px = px_am + px_lm - norm_px
+    px_amonly = px_am + px_lm_unigram - amonly_px
+    px_lmonly = px_lm - lmonly_normalizers[:S]
+
+    py_am = jnp.transpose(
+        am[:, :, termination_symbol][:, :, None], (2, 0, 1)
+    )  # (1, B, T)
+    py_lm = jnp.moveaxis(
+        lm[:, :, termination_symbol][:, :, None], 0, 1
+    )  # (S+1, B, 1)
+    py = py_am + py_lm - normalizers
+    py_lm_unigram = unigram_lm[0, 0, termination_symbol]  # scalar
+    py_amonly = py_am + py_lm_unigram - amonly_normalizers  # (1, B, T)
+    py_lmonly = py_lm - lmonly_normalizers  # (S+1, B, 1)
+
+    combined_scale = 1.0 - lm_only_scale - am_only_scale
+    # avoid 0 * -inf = NaN when any scale is exactly zero (see
+    # get_rnnt_logprobs_smoothed)
+    if combined_scale == 0.0:
+        combined_scale = 1.0e-20
+    if lm_only_scale == 0.0:
+        lm_only_scale = 1.0e-20
+    if am_only_scale == 0.0:
+        am_only_scale = 1.0e-20
+
+    px_interp = (
+        px * combined_scale + px_lmonly * lm_only_scale + px_amonly * am_only_scale
+    )
+    py_interp = (
+        py * combined_scale + py_lmonly * lm_only_scale + py_amonly * am_only_scale
+    )
+
+    if rnnt_type == "regular" and boundary is not None:
+        t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T + 1), 2)
+        px_interp = jnp.where(
+            t == boundary[:, 3][None, :, None], NEG_INF, px_interp
+        )
+    elif rnnt_type == "constrained":
+        px_interp = px_interp + py_interp[1:]
+    return px_interp, py_interp
 
 
 def get_rnnt_logprobs_smoothed(

@@ -23,15 +23,18 @@ import jax
 import jax.numpy as jnp
 
 from .lattice import (
-    band_mask_rows,
-    get_rnnt_logprobs,
+    band_mask_rows_smajor,
     get_rnnt_logprobs_joint,
     get_rnnt_logprobs_pruned,
-    get_rnnt_logprobs_pruned_simple,
-    get_rnnt_logprobs_smoothed,
+    get_rnnt_logprobs_rows,
+    get_rnnt_logprobs_smoothed_rows,
 )
-from .pruning import get_rnnt_prune_ranges
-from .recursion import mutual_information_recursion
+from .pruning import get_rnnt_prune_ranges_rows
+from .recursion import (
+    _normalize_boundary,
+    mutual_information_recursion,
+    mutual_information_rows,
+)
 from ..utils.validation import check_rnnt_inputs
 
 __all__ = [
@@ -67,6 +70,27 @@ def _apply_delay_penalty(
         offset = ((boundary[:, 3].astype(px.dtype) - 1.0) / 2.0)[:, None, None]
     penalty = offset - jnp.arange(T0, dtype=px.dtype)[None, None, :]
     return px + penalty * delay_penalty
+
+
+def _apply_delay_penalty_rows(
+    px_rows: jax.Array,
+    boundary: Optional[jax.Array],
+    rnnt_type: str,
+    delay_penalty: float,
+) -> jax.Array:
+    """s-major :func:`_apply_delay_penalty` (px rows are (S, B, T'))."""
+    if delay_penalty <= 0.0:
+        return px_rows
+    S, B, T0 = px_rows.shape
+    T = T0 if rnnt_type != "regular" else T0 - 1
+    if boundary is None:
+        offset = jnp.full((1, 1, 1), (T - 1) / 2.0, dtype=px_rows.dtype)
+    else:
+        offset = ((boundary[:, 3].astype(px_rows.dtype) - 1.0) / 2.0)[
+            None, :, None
+        ]
+    penalty = offset - jnp.arange(T0, dtype=px_rows.dtype)[None, None, :]
+    return px_rows + penalty * delay_penalty
 
 
 def _reduce(negated_loss: jax.Array, reduction: Optional[str]) -> jax.Array:
@@ -107,7 +131,10 @@ def rnnt_loss_simple(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
-    px, py = get_rnnt_logprobs(
+    # s-major end to end: the lattice einsums emit (S, B, T)-major rows and
+    # the recursion consumes them directly — no transpose/staging pass
+    # between build and kernels (see get_rnnt_logprobs_rows)
+    px_rows, py_rows = get_rnnt_logprobs_rows(
         lm=lm,
         am=am,
         symbols=symbols,
@@ -115,12 +142,15 @@ def rnnt_loss_simple(
         rnnt_type=rnnt_type,
         boundary=boundary,
     )
-    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
-    out = mutual_information_recursion(
-        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients, impl=impl
+    px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    B = am.shape[0]
+    bnd = _normalize_boundary(boundary, B, symbols.shape[1], am.shape[1])
+    out = mutual_information_rows(
+        px_rows, py_rows, bnd, calc_gradients=calc_gradients, impl=impl
     )
     if calc_gradients:
-        negated_loss, grads = out
+        negated_loss, (gx_rows, gy_rows) = out
+        grads = (jnp.moveaxis(gx_rows, 0, 1), jnp.moveaxis(gy_rows, 0, 1))
         return _reduce(negated_loss, reduction), grads
     return _reduce(out, reduction)
 
@@ -227,18 +257,27 @@ def rnnt_loss_pruned_simple(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary, ranges=ranges,
     )
-    px, py = get_rnnt_logprobs_pruned_simple(
-        lm=lm,
-        am=am,
-        symbols=symbols,
-        ranges=ranges,
-        termination_symbol=termination_symbol,
-        boundary=boundary,
-        rnnt_type=rnnt_type,
+    # s-major + in-kernel band masking: the simple lattice is built once in
+    # rows layout and the band (lo = ranges[:, :, 0], width K) is masked
+    # in-register by the recursion — no band-masked copy, no mask-VJP pass
+    # (round 1 materialized band_mask_rows(px/py); see
+    # get_rnnt_logprobs_pruned_simple for why band == pruned here)
+    K = ranges.shape[2]
+    lo = ranges[:, :, 0]
+    base_type = "modified" if rnnt_type == "constrained" else rnnt_type
+    px_rows, py_rows = get_rnnt_logprobs_rows(
+        lm, am, symbols, termination_symbol, base_type, boundary
     )
-    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
-    negated_loss = mutual_information_recursion(
-        px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
+    if rnnt_type == "constrained":
+        # constrained adds the NEXT row's (band-masked) blank arc to px; the
+        # in-kernel band re-mask of the sum is a no-op on the px part and
+        # cannot resurrect the -inf of an out-of-band py[s+1] term
+        py_banded = band_mask_rows_smajor(py_rows, lo, K)
+        px_rows = px_rows + py_banded[1:]
+    px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    bnd = _normalize_boundary(boundary, am.shape[0], symbols.shape[1], am.shape[1])
+    negated_loss = mutual_information_rows(
+        px_rows, py_rows, bnd, lo=lo, s_range=K, calc_gradients=False, impl=impl
     )
     return _reduce(negated_loss, reduction)
 
@@ -278,41 +317,48 @@ def rnnt_loss_simple_pruned(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
-    if boundary is None:
-        # get_rnnt_prune_ranges needs explicit bounds; default [0, 0, S, T]
-        B, S = symbols.shape
-        T = am.shape[1]
-        boundary = jnp.broadcast_to(
-            jnp.array([0, 0, S, T], dtype=jnp.int32), (B, 4)
-        )
+    # get_rnnt_prune_ranges needs explicit bounds; default [0, 0, S, T]
+    boundary = _normalize_boundary(
+        boundary, am.shape[0], symbols.shape[1], am.shape[1]
+    )
     if rnnt_type == "constrained":
         # build the un-constrained base; the constrained px += py[1:] must
         # happen AFTER band masking for the pruned stage (matching
         # get_rnnt_logprobs_pruned, rnnt_loss.py:1015-1018)
-        px0, py = get_rnnt_logprobs(
+        px0_rows, py_rows = get_rnnt_logprobs_rows(
             lm, am, symbols, termination_symbol, "modified", boundary
         )
-        px_simple = px0 + py[:, 1:, :]
-        px_pruned_base = px0
+        px_simple_rows = px0_rows + py_rows[1:]
     else:
-        px_simple, py = get_rnnt_logprobs(
+        px_simple_rows, py_rows = get_rnnt_logprobs_rows(
             lm, am, symbols, termination_symbol, rnnt_type, boundary
         )
-        px_pruned_base = px_simple
+        px0_rows = px_simple_rows
 
-    px_simple = _apply_delay_penalty(px_simple, boundary, rnnt_type, delay_penalty)
-    neg_simple, (px_grad, py_grad) = mutual_information_recursion(
-        px=px_simple, py=py, boundary=boundary, calc_gradients=True, impl=impl
+    px_simple_rows = _apply_delay_penalty_rows(
+        px_simple_rows, boundary, rnnt_type, delay_penalty
     )
-    ranges = get_rnnt_prune_ranges(px_grad, py_grad, boundary, s_range)
+    neg_simple, (gx_rows, gy_rows) = mutual_information_rows(
+        px_simple_rows, py_rows, boundary, calc_gradients=True, impl=impl
+    )
+    ranges = get_rnnt_prune_ranges_rows(gx_rows, gy_rows, boundary, s_range)
+    K = ranges.shape[2]
+    lo = ranges[:, :, 0]
 
-    px_b = band_mask_rows(px_pruned_base, ranges)
-    py_b = band_mask_rows(py, ranges)
+    # stage 2: the SAME rows, band-masked in-register by the recursion —
+    # round 1 materialized two band-masked lattice copies here and paid
+    # their VJP select passes
     if rnnt_type == "constrained":
-        px_b = px_b + py_b[:, 1:, :]
-    px_b = _apply_delay_penalty(px_b, boundary, rnnt_type, delay_penalty)
-    neg_pruned = mutual_information_recursion(
-        px=px_b, py=py_b, boundary=boundary, calc_gradients=False, impl=impl
+        py_banded = band_mask_rows_smajor(py_rows, lo, K)
+        px_stage2 = px0_rows + py_banded[1:]
+    else:
+        px_stage2 = px0_rows
+    px_stage2 = _apply_delay_penalty_rows(
+        px_stage2, boundary, rnnt_type, delay_penalty
+    )
+    neg_pruned = mutual_information_rows(
+        px_stage2, py_rows, boundary, lo=lo, s_range=K,
+        calc_gradients=False, impl=impl,
     )
     return _reduce(neg_simple, reduction), _reduce(neg_pruned, reduction), ranges
 
@@ -347,29 +393,39 @@ def rnnt_loss_smoothed_pruned(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
-    if boundary is None:
-        B, S = symbols.shape
-        T = am.shape[1]
-        boundary = jnp.broadcast_to(
-            jnp.array([0, 0, S, T], dtype=jnp.int32), (B, 4)
-        )
-    px_s, py_s = get_rnnt_logprobs_smoothed(
+    boundary = _normalize_boundary(
+        boundary, am.shape[0], symbols.shape[1], am.shape[1]
+    )
+    px_sm_rows, py_sm_rows = get_rnnt_logprobs_smoothed_rows(
         lm, am, symbols, termination_symbol,
         lm_only_scale=lm_only_scale, am_only_scale=am_only_scale,
         boundary=boundary, rnnt_type=rnnt_type,
     )
-    px_s = _apply_delay_penalty(px_s, boundary, rnnt_type, delay_penalty)
-    neg_smoothed, (px_grad, py_grad) = mutual_information_recursion(
-        px=px_s, py=py_s, boundary=boundary, calc_gradients=True, impl=impl
+    px_sm_rows = _apply_delay_penalty_rows(
+        px_sm_rows, boundary, rnnt_type, delay_penalty
     )
-    ranges = get_rnnt_prune_ranges(px_grad, py_grad, boundary, s_range)
+    neg_smoothed, (gx_rows, gy_rows) = mutual_information_rows(
+        px_sm_rows, py_sm_rows, boundary, calc_gradients=True, impl=impl
+    )
+    ranges = get_rnnt_prune_ranges_rows(gx_rows, gy_rows, boundary, s_range)
+    K = ranges.shape[2]
+    lo = ranges[:, :, 0]
 
-    px_b, py_b = get_rnnt_logprobs_pruned_simple(
-        lm, am, symbols, ranges, termination_symbol, boundary, rnnt_type
+    # stage 2 is the SIMPLE (un-smoothed) lattice — what the additive
+    # joiner actually produces — band-masked in-register (the smoothed
+    # lattice only steers the ranges; matches the reference's test
+    # pipeline semantics, simple_rnnt_loss_test.py:108-143)
+    base_type = "modified" if rnnt_type == "constrained" else rnnt_type
+    px_rows, py_rows = get_rnnt_logprobs_rows(
+        lm, am, symbols, termination_symbol, base_type, boundary
     )
-    px_b = _apply_delay_penalty(px_b, boundary, rnnt_type, delay_penalty)
-    neg_pruned = mutual_information_recursion(
-        px=px_b, py=py_b, boundary=boundary, calc_gradients=False, impl=impl
+    if rnnt_type == "constrained":
+        py_banded = band_mask_rows_smajor(py_rows, lo, K)
+        px_rows = px_rows + py_banded[1:]
+    px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    neg_pruned = mutual_information_rows(
+        px_rows, py_rows, boundary, lo=lo, s_range=K,
+        calc_gradients=False, impl=impl,
     )
     return (
         _reduce(neg_smoothed, reduction),
@@ -400,7 +456,7 @@ def rnnt_loss_smoothed(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
-    px, py = get_rnnt_logprobs_smoothed(
+    px_rows, py_rows = get_rnnt_logprobs_smoothed_rows(
         lm=lm,
         am=am,
         symbols=symbols,
@@ -410,11 +466,13 @@ def rnnt_loss_smoothed(
         boundary=boundary,
         rnnt_type=rnnt_type,
     )
-    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
-    out = mutual_information_recursion(
-        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients, impl=impl
+    px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    bnd = _normalize_boundary(boundary, am.shape[0], symbols.shape[1], am.shape[1])
+    out = mutual_information_rows(
+        px_rows, py_rows, bnd, calc_gradients=calc_gradients, impl=impl
     )
     if calc_gradients:
-        negated_loss, grads = out
+        negated_loss, (gx_rows, gy_rows) = out
+        grads = (jnp.moveaxis(gx_rows, 0, 1), jnp.moveaxis(gy_rows, 0, 1))
         return _reduce(negated_loss, reduction), grads
     return _reduce(out, reduction)

@@ -26,6 +26,7 @@ from .recursion import monotonic_lower_bound
 __all__ = [
     "adjust_pruning_lower_bound",
     "get_rnnt_prune_ranges",
+    "get_rnnt_prune_ranges_rows",
     "do_rnnt_pruning",
 ]
 
@@ -66,8 +67,25 @@ def get_rnnt_prune_ranges(
 
     ``s_range`` must be a static Python int (it determines output shape).
     """
-    B, S, T1 = px_grad.shape
-    T = py_grad.shape[-1]
+    return get_rnnt_prune_ranges_rows(
+        jnp.moveaxis(px_grad, 1, 0),
+        jnp.moveaxis(py_grad, 1, 0),
+        boundary,
+        s_range,
+    )
+
+
+def get_rnnt_prune_ranges_rows(
+    px_grad_rows: jax.Array,
+    py_grad_rows: jax.Array,
+    boundary: jax.Array,
+    s_range: int,
+) -> jax.Array:
+    """s-major variant of :func:`get_rnnt_prune_ranges` — consumes the
+    (S, B, T)-major occupancies the fused pipeline's recursion emits, so
+    no transpose sits between the two stages."""
+    S, B, T1 = px_grad_rows.shape
+    T = py_grad_rows.shape[-1]
     S1 = S + 1
     if not isinstance(s_range, int):
         raise TypeError("s_range must be a static Python int")
@@ -81,16 +99,16 @@ def get_rnnt_prune_ranges(
 
     # Window-sum of py_grad over s in [k, k+s_range) for every window start
     # k, via a padded cumulative sum (rnnt_loss.py:722-725).
-    cumsum = jnp.cumsum(py_grad, axis=1)  # (B, S1, T)
+    cumsum = jnp.cumsum(py_grad_rows, axis=0)  # (S1, B, T)
     cumsum = jnp.concatenate(
-        [jnp.zeros((B, 1, T), dtype=py_grad.dtype), cumsum], axis=1
-    )  # (B, S1+1, T)
-    blk_sum_grad = cumsum[:, s_range:, :] - cumsum[:, : S1 - s_range + 1, :]
+        [jnp.zeros((1, B, T), dtype=cumsum.dtype), cumsum], axis=0
+    )  # (S1+1, B, T)
+    blk_sum_grad = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
     px_grad_pad = jnp.concatenate(
-        [jnp.zeros((B, 1, T1), dtype=px_grad.dtype), px_grad], axis=1
-    )  # (B, S1, T1)
-    final_grad = blk_sum_grad - px_grad_pad[:, : S1 - s_range + 1, :T]
-    s_begin = jnp.argmax(final_grad, axis=1).astype(jnp.int32)  # (B, T)
+        [jnp.zeros((1, B, T1), dtype=px_grad_rows.dtype), px_grad_rows], axis=0
+    )  # (S1, B, T1)
+    final_grad = blk_sum_grad - px_grad_pad[: S1 - s_range + 1, :, :T]
+    s_begin = jnp.argmax(final_grad, axis=0).astype(jnp.int32)  # (B, T)
 
     # Frames at/after each utterance's last real frame get the final window
     # start S - s_range + 1 (clipped at 0), so the last symbol is reachable

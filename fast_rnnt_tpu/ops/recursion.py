@@ -48,6 +48,7 @@ from .numerics import NEG_INF, log_linear_scan, logaddexp, reverse_linear_scan, 
 
 __all__ = [
     "mutual_information_recursion",
+    "mutual_information_rows",
     "cummin",
     "monotonic_lower_bound",
 ]
@@ -108,24 +109,65 @@ def _apply_boundary_mask(
     return px, py
 
 
-def _forward_lattice_xla(
-    px: jax.Array, py: jax.Array, boundary: jax.Array
+def _mask_rows(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    modified: bool,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Compute the full lattice ``p`` [B, S+1, T+1] and ``scores`` [B].
+    """s-major boundary (+ optional pruning-band) mask; semantics identical
+    to _apply_boundary_mask (+ lattice.band_mask_rows when ``lo`` given)."""
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    sb = boundary[:, 0][None, :, None]
+    tb = boundary[:, 1][None, :, None]
+    se = boundary[:, 2][None, :, None]
+    te = boundary[:, 3][None, :, None]
+
+    s_px = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
+    t_px = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T1), 2)
+    t_hi = te if not modified else te - 1
+    px_ok = (s_px >= sb) & (s_px < se) & (t_px >= tb) & (t_px <= t_hi)
+
+    s_py = jax.lax.broadcasted_iota(jnp.int32, (S + 1, 1, 1), 0)
+    t_py = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+    py_ok = (s_py >= sb) & (s_py <= se) & (t_py >= tb) & (t_py < te)
+
+    if lo is not None:
+        lo = lo.astype(jnp.int32)[None, :, :]  # (1, B, T)
+        lo_px = lo if T1 == T else jnp.pad(
+            lo, ((0, 0), (0, 0), (0, 1)), mode="edge"
+        )
+        px_ok &= (s_px >= lo_px) & (s_px < lo_px + K)
+        py_ok &= (s_py >= lo) & (s_py < lo + K)
+
+    px_m = jnp.where(px_ok, px_rows, NEG_INF)
+    py_m = jnp.where(py_ok, py_rows, NEG_INF)
+    return px_m, py_m
+
+
+def _forward_rows_xla(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """s-major forward: returns (p_rows [S+1, B, T+1], scores [B]).
 
     Row-scan over s; each row solved by a log-semiring associative scan
     (replaces the CUDA forward wavefront, mutual_information_cuda.cu:174-422).
     """
-    B, S, T1 = px.shape
-    T = py.shape[2]
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
     modified = T1 == T  # same inference as the kernel (.cu:190-192)
 
-    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
+    px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
 
-    # Time-major rows for the scan: px_pad[s] holds px[s-1] (row s's incoming
-    # symbol arcs); row 0 is -inf (no arcs into row 0 from below).
-    px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
-    py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
+    # px_pad[s] holds px[s-1] (row s's incoming symbol arcs); row 0 is
+    # -inf (no arcs into row 0 from below).
     # full_like (not jnp.full): propagates device-varying type under shard_map
     pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     px_pad = jnp.concatenate([pad_row, px_t], axis=0)  # (S+1, B, T1)
@@ -156,29 +198,29 @@ def _forward_lattice_xla(
 
     init = jax.lax.full_like(py_t, NEG_INF, shape=(B, T + 1))
     _, p_rows = jax.lax.scan(step, init, (s_idx, px_pad, py_t))
-    p = jnp.moveaxis(p_rows, 0, 1)  # (B, S+1, T+1)
 
     se = boundary[:, 2]
     te = boundary[:, 3]
-    scores = p[jnp.arange(B), se, te]
-    return p, scores
+    scores = p_rows[se, jnp.arange(B), te]
+    return p_rows, scores
 
 
-def _forward_scores_xla(
-    px: jax.Array, py: jax.Array, boundary: jax.Array
+def _forward_scores_rows_xla(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
 ) -> jax.Array:
-    """Scores-only forward: identical recursion to _forward_lattice_xla but
-    the score is harvested into the scan carry, so the (B, S+1, T+1)
-    lattice is never materialized (no autodiff residual is needed on the
-    primal-only path; XLA cannot DCE the stacked rows around the final
-    gather itself)."""
-    B, S, T1 = px.shape
-    T = py.shape[2]
+    """Scores-only s-major forward: identical recursion to
+    _forward_rows_xla but the score is harvested into the scan carry, so
+    the (S+1, B, T+1) lattice is never materialized (no autodiff residual
+    is needed on the primal-only path)."""
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
     modified = T1 == T
 
-    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
-    px_t = jnp.moveaxis(px_m, 1, 0)
-    py_t = jnp.moveaxis(py_m, 1, 0)
+    px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
     pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     px_pad = jnp.concatenate([pad_row, px_t], axis=0)
 
@@ -217,15 +259,17 @@ def _forward_scores_xla(
     return scores
 
 
-def _backward_lattice_xla(
-    px: jax.Array,
-    py: jax.Array,
-    p: jax.Array,
+def _backward_rows_xla(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    p_rows: jax.Array,
     boundary: jax.Array,
     ans_grad: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Occupancy/backward recursion (replaces the CUDA backward wavefront,
-    mutual_information_cuda.cu:490-760).
+    """s-major occupancy/backward recursion (replaces the CUDA backward
+    wavefront, mutual_information_cuda.cu:490-760).
 
     With the score gradient seeded at (s_end, t_end):
 
@@ -237,20 +281,19 @@ def _backward_lattice_xla(
 
     Per row, g is a first-order linear recurrence along decreasing t —
     solved with a reverse associative scan; rows sweep s from S down to 0.
+    ``p_rows`` may be lane-padded past T+1 (the Pallas residual) — the
+    excess is sliced off.
     """
-    B, S, T1 = px.shape
-    T = py.shape[2]
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
     modified = T1 == T
 
-    px_m, py_m = _apply_boundary_mask(px, py, boundary, modified)
-
-    px_t = jnp.moveaxis(px_m, 1, 0)  # (S, B, T1)
-    py_t = jnp.moveaxis(py_m, 1, 0)  # (S+1, B, T)
+    px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
     pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     # px_pad2[s] = px[s] for s < S; -inf for s = S (no arcs out of row S).
     px_pad2 = jnp.concatenate([px_t, pad_row], axis=0)  # (S+1, B, T1)
 
-    p_t = jnp.moveaxis(p, 1, 0)  # (S+1, B, T+1)
+    p_t = p_rows[:, :, : T + 1]  # (S+1, B, T+1)
     zeros_row = jax.lax.full_like(p_t, 0.0, shape=(1, B, T + 1))
     p_next_t = jnp.concatenate([p_t[1:], zeros_row], axis=0)  # p[s+1] rows
 
@@ -281,13 +324,37 @@ def _backward_lattice_xla(
 
     init = jax.lax.full_like(p_t, 0.0, shape=(B, T + 1))
     # Rows sweep s = S down to 0 (reverse scan); ys stay aligned with xs.
-    _, (px_rows, py_rows) = jax.lax.scan(
+    _, (pxg_rows, pyg_rows) = jax.lax.scan(
         step, init, (s_idx, px_pad2, py_t, p_t, p_next_t), reverse=True
     )
     # Trim the s = S px row (identically zero: px_pad2[S] = -inf).
-    px_grad = jnp.moveaxis(px_rows, 0, 1)[:, :S, :]
-    py_grad = jnp.moveaxis(py_rows, 0, 1)
-    return px_grad, py_grad
+    return pxg_rows[:S], pyg_rows
+
+
+# --- legacy (B, S, T)-major wrappers (the register_impl interface) ----------
+
+
+def _forward_lattice_xla(
+    px: jax.Array, py: jax.Array, boundary: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """register_impl-interface forward: residual is the s-major p_rows."""
+    p_rows, scores = _forward_rows_xla(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), boundary
+    )
+    return p_rows, scores
+
+
+def _backward_lattice_xla(
+    px: jax.Array,
+    py: jax.Array,
+    p_rows: jax.Array,
+    boundary: jax.Array,
+    ans_grad: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    pxg_rows, pyg_rows = _backward_rows_xla(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), p_rows, boundary, ans_grad
+    )
+    return jnp.moveaxis(pxg_rows, 0, 1), jnp.moveaxis(pyg_rows, 0, 1)
 
 
 # -----------------------------------------------------------------------------
@@ -399,72 +466,199 @@ def _float0_like(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-# --- scores-only op (used when calc_gradients=False) -------------------------
+def _f0_or_none(x):
+    return None if x is None else _float0_like(x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _mi_scores(px, py, boundary, impl):
-    # primal-only path (no jax.grad): nothing needs the lattice residual,
-    # so the XLA impl can use the carry-harvest variant and skip
-    # materializing p entirely (the Pallas kernel writes p regardless)
+# --- s-major dispatch ---------------------------------------------------------
+#
+# The rows-level entry points below are the single compute path: the public
+# (B, S, T)-major API transposes at its edges, and the fused pruned
+# pipelines (ops/losses.py) call the rows ops directly with their s-major
+# lattices + the pruning band (lo, K), which the kernels mask inline.
+
+
+def _rows_resolved(impl: Optional[str]) -> str:
     resolved = impl if impl not in (None, "auto") else _resolve_default()
+    if resolved not in ("xla", "pallas") and resolved not in _IMPL:
+        raise ValueError(
+            f"unknown mutual_information_recursion impl {resolved!r}; "
+            f"registered: {sorted(set(_IMPL) | set(_LAZY_IMPLS))}"
+        )
+    return resolved
+
+
+def _rows_forward(px_rows, py_rows, boundary, lo, K, impl):
+    """Returns (residual, scores).  residual = s-major p_rows for the
+    built-in impls, or a custom impl's own residual."""
+    resolved = _rows_resolved(impl)
+    if resolved == "pallas":
+        from .kernels.wavefront import forward_rows_pallas
+
+        return forward_rows_pallas(px_rows, py_rows, boundary, lo=lo, K=K)
     if resolved == "xla":
-        return _forward_scores_xla(px, py, boundary)
-    fwd, _ = _get_impl(impl)
-    _, scores = fwd(px, py, boundary)
+        return _forward_rows_xla(px_rows, py_rows, boundary, lo=lo, K=K)
+    # custom register_impl implementation: (B, S, T)-major interface.
+    # Band masking (if any) is applied before the call; re-masking the
+    # boundary inside the impl is idempotent.
+    fwd, _ = _get_impl(resolved)
+    modified = px_rows.shape[2] == py_rows.shape[2]
+    if lo is not None:
+        px_rows, py_rows = _mask_rows(
+            px_rows, py_rows, boundary, modified, lo, K
+        )
+    res, scores = fwd(
+        jnp.moveaxis(px_rows, 0, 1), jnp.moveaxis(py_rows, 0, 1), boundary
+    )
+    return res, scores
+
+
+def _rows_scores_only(px_rows, py_rows, boundary, lo, K, impl):
+    resolved = _rows_resolved(impl)
+    if resolved == "xla":
+        # carry-harvest variant: never materializes the lattice
+        return _forward_scores_rows_xla(px_rows, py_rows, boundary, lo=lo, K=K)
+    _, scores = _rows_forward(px_rows, py_rows, boundary, lo, K, impl)
     return scores
 
 
-def _mi_scores_fwd(px, py, boundary, impl):
-    fwd, _ = _get_impl(impl)
-    p, scores = fwd(px, py, boundary)
-    return scores, (px, py, boundary, p)
+def _rows_backward(px_rows, py_rows, res, boundary, ans_grad, lo, K, impl):
+    resolved = _rows_resolved(impl)
+    if resolved == "pallas":
+        from .kernels.wavefront import backward_rows_pallas
+
+        return backward_rows_pallas(
+            px_rows, py_rows, res, boundary, ans_grad, lo=lo, K=K
+        )
+    if resolved == "xla":
+        return _backward_rows_xla(
+            px_rows, py_rows, res, boundary, ans_grad, lo=lo, K=K
+        )
+    _, bwd = _get_impl(resolved)
+    modified = px_rows.shape[2] == py_rows.shape[2]
+    if lo is not None:
+        px_rows, py_rows = _mask_rows(
+            px_rows, py_rows, boundary, modified, lo, K
+        )
+    gx, gy = bwd(
+        jnp.moveaxis(px_rows, 0, 1), jnp.moveaxis(py_rows, 0, 1), res,
+        boundary, ans_grad,
+    )
+    return jnp.moveaxis(gx, 1, 0), jnp.moveaxis(gy, 1, 0)
 
 
-def _mi_scores_bwd(impl, res, ans_grad):
-    px, py, boundary, p = res
-    _, bwd = _get_impl(impl)
-    px_grad, py_grad = bwd(px, py, p, boundary, ans_grad)
-    return px_grad, py_grad, _float0_like(boundary)
+# --- scores-only rows op (used when calc_gradients=False) ---------------------
 
 
-_mi_scores.defvjp(_mi_scores_fwd, _mi_scores_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mi_rows_scores(px_rows, py_rows, boundary, lo, K, impl):
+    return _rows_scores_only(px_rows, py_rows, boundary, lo, K, impl)
 
 
-# --- fused scores + occupancy op (calc_gradients=True) ------------------------
+def _mi_rows_scores_fwd(px_rows, py_rows, boundary, lo, K, impl):
+    res, scores = _rows_forward(px_rows, py_rows, boundary, lo, K, impl)
+    return scores, (px_rows, py_rows, boundary, lo, res)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _mi_with_grads(px, py, boundary, impl):
-    fwd, bwd = _get_impl(impl)
-    p, scores = fwd(px, py, boundary)
+def _mi_rows_scores_bwd(K, impl, residuals, ans_grad):
+    px_rows, py_rows, boundary, lo, res = residuals
+    gx_rows, gy_rows = _rows_backward(
+        px_rows, py_rows, res, boundary, ans_grad, lo, K, impl
+    )
+    return gx_rows, gy_rows, _float0_like(boundary), _f0_or_none(lo)
+
+
+_mi_rows_scores.defvjp(_mi_rows_scores_fwd, _mi_rows_scores_bwd)
+
+
+# --- fused scores + occupancy rows op (calc_gradients=True) -------------------
+
+
+def _rows_with_grads_impl(px_rows, py_rows, boundary, lo, K, impl):
+    res, scores = _rows_forward(px_rows, py_rows, boundary, lo, K, impl)
     ones = jnp.ones_like(scores)
-    px_grad, py_grad = bwd(px, py, p, boundary, ones)
-    return scores, px_grad, py_grad
+    gx_rows, gy_rows = _rows_backward(
+        px_rows, py_rows, res, boundary, ones, lo, K, impl
+    )
+    return scores, gx_rows, gy_rows
 
 
-def _mi_with_grads_fwd(px, py, boundary, impl):
-    fwd, bwd = _get_impl(impl)
-    p, scores = fwd(px, py, boundary)
-    ones = jnp.ones_like(scores)
-    px_grad, py_grad = bwd(px, py, p, boundary, ones)
-    return (scores, px_grad, py_grad), (px_grad, py_grad, boundary)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mi_rows_with_grads(px_rows, py_rows, boundary, lo, K, impl):
+    return _rows_with_grads_impl(px_rows, py_rows, boundary, lo, K, impl)
 
 
-def _mi_with_grads_bwd(impl, res, cots):
+def _mi_rows_with_grads_fwd(px_rows, py_rows, boundary, lo, K, impl):
+    out = _rows_with_grads_impl(px_rows, py_rows, boundary, lo, K, impl)
+    scores, gx_rows, gy_rows = out
+    return out, (gx_rows, gy_rows, boundary, lo)
+
+
+def _mi_rows_with_grads_bwd(K, impl, res, cots):
     # The occupancy outputs are treated as non-differentiable, exactly like
     # the reference's registered gradient which only propagates the score
     # cotangent: ans_grad * px_grad / py_grad (__init__.py:154-162).  Since
     # the backward recursion is linear in the seed, occupancies computed with
     # a seed of 1 in the forward pass can simply be rescaled here — the same
     # "compute grads in the forward op" trick as tf_fast_rnnt_op.cc:89-111.
-    px_grad, py_grad, boundary = res
+    gx_rows, gy_rows, boundary, lo = res
     ans_grad = cots[0]
-    scale = ans_grad[:, None, None].astype(px_grad.dtype)
-    return scale * px_grad, scale * py_grad, _float0_like(boundary)
+    scale = ans_grad[None, :, None].astype(gx_rows.dtype)
+    return (
+        scale * gx_rows,
+        scale * gy_rows,
+        _float0_like(boundary),
+        _f0_or_none(lo),
+    )
 
 
-_mi_with_grads.defvjp(_mi_with_grads_fwd, _mi_with_grads_bwd)
+_mi_rows_with_grads.defvjp(_mi_rows_with_grads_fwd, _mi_rows_with_grads_bwd)
+
+
+def mutual_information_rows(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    s_range: int = 0,
+    calc_gradients: bool = False,
+    impl: Optional[str] = None,
+):
+    """s-major, optionally BAND-MASKED recursion — the fused pipelines'
+    internal workhorse (no reference equivalent; the reference materializes
+    band effects through do_rnnt_pruning + get_rnnt_logprobs_pruned).
+
+    Args are as :func:`mutual_information_recursion` but with (S, B, T)-
+    major px/py rows, plus ``lo``: optional (B, T) int window starts
+    (``ranges[:, :, 0]``) with static width ``s_range`` — the recursion
+    then sees ``band_mask_rows(px/py)`` without a masked copy ever being
+    materialized (the kernels mask in-register).
+    """
+    if lo is not None and int(s_range) <= 0:
+        raise ValueError("banded recursion needs a positive static s_range")
+    K = int(s_range)
+    if calc_gradients:
+        scores, gx, gy = _mi_rows_with_grads(
+            px_rows, py_rows, boundary, lo, K, impl
+        )
+        return scores, (gx, gy)
+    return _mi_rows_scores(px_rows, py_rows, boundary, lo, K, impl)
+
+
+# --- legacy (B, S, T)-major custom_vjp wrappers -------------------------------
+
+
+def _mi_scores(px, py, boundary, impl):
+    return _mi_rows_scores(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), boundary, None, 0, impl
+    )
+
+
+def _mi_with_grads(px, py, boundary, impl):
+    scores, gx_rows, gy_rows = _mi_rows_with_grads(
+        jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0), boundary, None, 0, impl
+    )
+    return scores, jnp.moveaxis(gx_rows, 0, 1), jnp.moveaxis(gy_rows, 0, 1)
 
 
 # --- public API ---------------------------------------------------------------

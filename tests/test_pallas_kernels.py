@@ -147,3 +147,81 @@ def test_out_of_range_boundary_clamped_consistently():
             np.asarray(s_bad), np.asarray(s_good), rtol=1e-5,
             err_msg=f"impl={impl}",
         )
+
+
+@pytest.mark.parametrize("modified", [False, True])
+def test_pallas_banded_matches_masked(modified):
+    """In-kernel band masking (the pruned stage-2 fast path) must equal
+    band-masking the lattice in XLA and running the plain recursion —
+    for scores AND for the gradients through the custom VJP."""
+    from fast_rnnt_tpu.ops.lattice import band_mask_rows_smajor
+    from fast_rnnt_tpu.ops.recursion import mutual_information_rows
+
+    rng = np.random.default_rng(99)
+    B, S, T, K = 3, 7, 12, 3
+    px, py = _random_pxpy(rng, B, S, T, modified=modified)
+    boundary = _random_boundary(rng, B, S, T)
+    # a valid monotone band: lo steps by < K, starts at 0
+    steps = rng.integers(0, K, size=(B, T))
+    steps[:, 0] = 0
+    lo = jnp.asarray(
+        np.minimum(np.cumsum(steps, axis=1), max(S - K + 1, 0)).astype(np.int32)
+    )
+    px_r = jnp.moveaxis(jnp.asarray(px), 1, 0)
+    py_r = jnp.moveaxis(jnp.asarray(py), 1, 0)
+    bnd = jnp.asarray(boundary)
+
+    for impl in ("xla", "pallas"):
+        def banded(px_r, py_r):
+            return jnp.sum(
+                mutual_information_rows(
+                    px_r, py_r, bnd, lo=lo, s_range=K, impl=impl
+                )
+            )
+
+        def masked(px_r, py_r):
+            return jnp.sum(
+                mutual_information_rows(
+                    band_mask_rows_smajor(px_r, lo, K),
+                    band_mask_rows_smajor(py_r, lo, K),
+                    bnd,
+                    impl=impl,
+                )
+            )
+
+        vb, gb = jax.value_and_grad(banded, argnums=(0, 1))(px_r, py_r)
+        vm, gm = jax.value_and_grad(masked, argnums=(0, 1))(px_r, py_r)
+        np.testing.assert_allclose(float(vb), float(vm), rtol=1e-5,
+                                   err_msg=f"impl={impl}")
+        # outside-band cotangents are exactly zero either way (occupancies
+        # of -inf arcs); inside-band must match
+        np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gm[0]),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"impl={impl}")
+        np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gm[1]),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"impl={impl}")
+
+
+def test_pallas_banded_with_occupancies():
+    """calc_gradients=True through the banded path: occupancy flow still
+    sums to s_end + t_end (paths are confined to the band but flow
+    conservation holds as long as the band admits a path)."""
+    from fast_rnnt_tpu.ops.recursion import mutual_information_rows
+
+    rng = np.random.default_rng(5)
+    B, S, T, K = 2, 5, 9, 3
+    px, py = _random_pxpy(rng, B, S, T)
+    boundary = np.tile(np.array([0, 0, S, T], np.int32), (B, 1))
+    # a band that provably admits a path: lo ramps 0 -> S-K+1
+    lo = jnp.asarray(
+        np.minimum((np.arange(T)[None, :]).astype(np.int32), S - K + 1)
+        * np.ones((B, 1), np.int32)
+    )
+    scores, (gx, gy) = mutual_information_rows(
+        jnp.moveaxis(jnp.asarray(px), 1, 0),
+        jnp.moveaxis(jnp.asarray(py), 1, 0),
+        jnp.asarray(boundary),
+        lo=lo, s_range=K, calc_gradients=True, impl="pallas",
+    )
+    assert np.all(np.isfinite(np.asarray(scores)))
+    occ = np.asarray(gx.sum((0, 2)) + gy.sum((0, 2)))
+    np.testing.assert_allclose(occ, S + T, rtol=1e-3)
