@@ -24,6 +24,7 @@ from .ops.lattice import (
 )
 from .ops.losses import (
     rnnt_loss,
+    rnnt_loss_chunked,
     rnnt_loss_pruned,
     rnnt_loss_pruned_simple,
     rnnt_loss_simple,
@@ -35,11 +36,13 @@ from .ops.pruning import (
     adjust_pruning_lower_bound,
     do_rnnt_pruning,
     get_rnnt_prune_ranges,
+    get_rnnt_prune_ranges_rows,
 )
 from .ops.recursion import (
     cummin,
     monotonic_lower_bound,
     mutual_information_recursion,
+    mutual_information_rows,
     register_impl,
 )
 
@@ -49,6 +52,7 @@ __all__ = [
     "__version__",
     # recursion core
     "mutual_information_recursion",
+    "mutual_information_rows",
     "cummin",
     "monotonic_lower_bound",
     "register_impl",
@@ -63,11 +67,13 @@ __all__ = [
     # pruning pipeline
     "adjust_pruning_lower_bound",
     "get_rnnt_prune_ranges",
+    "get_rnnt_prune_ranges_rows",
     "do_rnnt_pruning",
     # losses
     "rnnt_loss_simple",
     "rnnt_loss_smoothed",
     "rnnt_loss",
+    "rnnt_loss_chunked",
     "rnnt_loss_pruned",
     "rnnt_loss_pruned_simple",
     "rnnt_loss_simple_pruned",

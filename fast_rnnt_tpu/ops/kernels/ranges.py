@@ -1,0 +1,136 @@
+"""Pallas TPU kernel for the pruning-window argmax (get_rnnt_prune_ranges).
+
+The reference computes, per frame t, the window start maximizing
+
+    final_grad[k] = sum_{j in [k, k+K)} py_grad[j, t]  -  px_grad[k-1, t]
+
+via a padded cumulative sum + argmax (rnnt_loss.py:722-729).  In XLA that
+is a multi-pass cumsum over the (S+1, B, T) occupancies plus argmax and
+padding concats (~290 us in-graph at the benchmark shape).  Here it is ONE
+streaming pass: a sequential grid over s keeps a rolling window sum and a
+running (best, argbest) in VMEM, reading each occupancy row once (gy
+twice: entering and leaving the window) — ~36 MB of traffic total.
+
+Semantics pinned against the XLA path in tests/test_pruning.py (first-max
+tie-breaking matches jnp.argmax).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["window_argmax_rows_pallas"]
+
+LANE = 128
+SUBLANE = 8
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(
+    gy_in_ref, gy_out_ref, gx_ref,  # inputs (rows)
+    sbegin_ref,  # output (B, T) int32
+    acc, best, arg,  # scratch
+    *, S1: int, K: int,
+):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc[:, :])
+
+    # window gains row i
+    a = acc[:, :] + gy_in_ref[0]
+    # ...and drops row i-K once the window is full
+    a = jnp.where(i >= K, a - gy_out_ref[0], a)
+    acc[:, :] = a
+
+    # window [k, k+K) complete at i = k+K-1; score = acc - px_grad[k-1]
+    # (the k = 0 window has no px term: px_grad_pad[0] = 0)
+    k = i - (K - 1)
+    score = jnp.where(k > 0, a - gx_ref[0], a)
+
+    @pl.when(i == K - 1)
+    def _():
+        best[:, :] = score
+        arg[:, :] = jnp.zeros_like(arg[:, :])
+
+    @pl.when(i >= K)
+    def _():
+        hit = score > best[:, :]  # strict: first max wins (= jnp.argmax)
+        best[:, :] = jnp.where(hit, score, best[:, :])
+        arg[:, :] = jnp.where(hit, jnp.full_like(arg[:, :], k), arg[:, :])
+
+    @pl.when(i == S1 - 1)
+    def _():
+        sbegin_ref[:, :] = arg[:, :]
+
+
+def window_argmax_rows_pallas(
+    py_grad_rows: jax.Array,
+    px_grad_rows: jax.Array,
+    K: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """s_begin[b, t] = argmax_k ( window-sum of py_grad - px_grad entry ).
+
+    Args:
+      py_grad_rows: (S+1, B, T) blank occupancies (s-major).
+      px_grad_rows: (S, B, T') symbol occupancies; only [:, :, :T] is read.
+      K: static window width (1 <= K <= S+1).
+
+    Returns (B, T) int32 window starts in [0, S+1-K].
+    """
+    S1, B, T = py_grad_rows.shape
+    if not 1 <= K <= S1:
+        raise ValueError(f"K={K} out of range for S+1={S1}")
+    from .wavefront import _INTERPRET, _out_struct
+
+    if interpret is None:
+        interpret = _INTERPRET
+
+    W = _ceil_to(T, LANE)
+    bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
+    nb = _cdiv(B, bblk)
+    grid = (nb, S1)
+
+    row_spec = lambda imap: pl.BlockSpec(
+        (1, bblk, W), imap, memory_space=pltpu.VMEM
+    )
+    # gx row k-1 = i-K (clamped; masked out for the k <= 0 steps).  A zero-
+    # row px pad is never read: k > 0 is required before subtracting.
+    kernel = functools.partial(_kernel, S1=S1, K=K)
+    sbegin = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(lambda ib, i: (i, ib, 0)),  # gy row i
+            row_spec(lambda ib, i: (jnp.maximum(i - K, 0), ib, 0)),  # gy row i-K
+            row_spec(lambda ib, i: (jnp.clip(i - K, 0, S1 - 2), ib, 0)),  # gx row k-1
+        ],
+        out_specs=[
+            pl.BlockSpec((bblk, W), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM)
+        ],
+        out_shape=[
+            _out_struct((B, T), jnp.int32, py_grad_rows, px_grad_rows)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bblk, W), py_grad_rows.dtype),
+            pltpu.VMEM((bblk, W), py_grad_rows.dtype),
+            pltpu.VMEM((bblk, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(py_grad_rows, py_grad_rows, px_grad_rows)[0]
+    return sbegin

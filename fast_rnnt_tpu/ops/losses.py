@@ -29,6 +29,7 @@ from .lattice import (
     get_rnnt_logprobs_rows,
     get_rnnt_logprobs_smoothed_rows,
 )
+from .numerics import NEG_INF
 from .pruning import get_rnnt_prune_ranges_rows
 from .recursion import (
     _normalize_boundary,
@@ -40,6 +41,7 @@ from ..utils.validation import check_rnnt_inputs
 __all__ = [
     "rnnt_loss_simple",
     "rnnt_loss",
+    "rnnt_loss_chunked",
     "rnnt_loss_pruned",
     "rnnt_loss_pruned_simple",
     "rnnt_loss_simple_pruned",
@@ -189,6 +191,98 @@ def rnnt_loss(
         negated_loss, grads = out
         return _reduce(negated_loss, reduction), grads
     return _reduce(out, reduction)
+
+
+def rnnt_loss_chunked(
+    joiner,
+    am: jax.Array,
+    lm: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    delay_penalty: float = 0.0,
+    reduction: Optional[str] = "mean",
+    chunk: int = 64,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """UNPRUNED full-joiner RNN-T loss WITHOUT materializing the joiner
+    output.
+
+    The reference's unpruned path (and :func:`rnnt_loss`) takes a
+    materialized ``[B, T, S+1, C]`` logits tensor — 6+ GB at LibriSpeech
+    scale (rnnt_loss.py:420 and README.md:165: 15.1 GB peak).  Here the
+    joiner runs INSIDE a ``lax.map`` over T-chunks with rematerialization:
+    each chunk's logits exist only transiently (forward AND backward —
+    ``jax.checkpoint`` recomputes them in the VJP), so peak HBM is the
+    encoder/predictor activations plus one chunk (~hundreds of MB), not
+    the full joint tensor.
+
+    Args:
+      joiner: callable ``joiner(am_chunk [B, Tc, Da], lm [B, S+1, Dl]) ->
+        logits [B, Tc, S+1, C]``.  For the additive joiner pass
+        ``lambda a, l: a[:, :, None, :] + l[:, None, :, :]`` (but then
+        prefer :func:`rnnt_loss_simple`, which exploits the factorization).
+      am: [B, T, Da] encoder output (pre-joiner).
+      lm: [B, S+1, Dl] predictor output (pre-joiner).
+      chunk: frames per joiner invocation (static).
+
+    Other args and the result exactly match :func:`rnnt_loss`.
+    """
+    check_rnnt_inputs(
+        symbols=symbols, termination_symbol=termination_symbol,
+        boundary=boundary,
+    )
+    B, T, Da = am.shape
+    S1 = lm.shape[1]
+    S = S1 - 1
+    nc = -(-T // chunk)
+    Tp = nc * chunk
+    am_pad = jnp.pad(am, ((0, 0), (0, Tp - T), (0, 0)))
+    am_chunks = jnp.reshape(
+        jnp.moveaxis(am_pad, 1, 0), (nc, chunk, B, Da)
+    )  # (nc, chunk, B, Da)
+
+    from .lattice import _symbol_onehot, matmul_precision
+
+    def chunk_fn(am_c):
+        # am_c: (chunk, B, Da) -> px/py columns for these frames
+        logits_c = joiner(jnp.moveaxis(am_c, 0, 1), lm)  # (B, chunk, S+1, C)
+        C = logits_c.shape[-1]
+        normalizers = jax.nn.logsumexp(logits_c, axis=3)  # (B, chunk, S+1)
+        onehot = _symbol_onehot(symbols, C, logits_c.dtype)  # (B, S, C)
+        px_c = jnp.einsum(
+            "btsc,bsc->bst", logits_c[:, :, :S, :], onehot,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
+        )  # (B, S, chunk)
+        px_c = px_c - jnp.swapaxes(normalizers, 1, 2)[:, :S, :]
+        py_c = (
+            jnp.swapaxes(logits_c[:, :, :, termination_symbol], 1, 2)
+            - jnp.swapaxes(normalizers, 1, 2)
+        )  # (B, S+1, chunk)
+        return px_c, py_c
+
+    px_cols, py_cols = jax.lax.map(jax.checkpoint(chunk_fn), am_chunks)
+    # (nc, B, S, chunk) -> (B, S, T)
+    px = jnp.moveaxis(px_cols, 0, 2).reshape(B, S, Tp)[:, :, :T]
+    py = jnp.moveaxis(py_cols, 0, 2).reshape(B, S1, Tp)[:, :, :T]
+
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
+        )
+        from .lattice import fix_for_boundary
+
+        px = fix_for_boundary(px, boundary)
+    elif rnnt_type == "constrained":
+        px = px + py[:, 1:, :]
+
+    px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
+    negated_loss = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
+    )
+    return _reduce(negated_loss, reduction)
 
 
 def rnnt_loss_pruned(

@@ -97,18 +97,7 @@ def get_rnnt_prune_ranges_rows(
     if T1 == T + 1 and s_range < 2:
         raise ValueError("regular RNN-T needs s_range >= 2")
 
-    # Window-sum of py_grad over s in [k, k+s_range) for every window start
-    # k, via a padded cumulative sum (rnnt_loss.py:722-725).
-    cumsum = jnp.cumsum(py_grad_rows, axis=0)  # (S1, B, T)
-    cumsum = jnp.concatenate(
-        [jnp.zeros((1, B, T), dtype=cumsum.dtype), cumsum], axis=0
-    )  # (S1+1, B, T)
-    blk_sum_grad = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
-    px_grad_pad = jnp.concatenate(
-        [jnp.zeros((1, B, T1), dtype=px_grad_rows.dtype), px_grad_rows], axis=0
-    )  # (S1, B, T1)
-    final_grad = blk_sum_grad - px_grad_pad[: S1 - s_range + 1, :, :T]
-    s_begin = jnp.argmax(final_grad, axis=0).astype(jnp.int32)  # (B, T)
+    s_begin = _window_argmax(px_grad_rows, py_grad_rows, s_range)  # (B, T)
 
     # Frames at/after each utterance's last real frame get the final window
     # start S - s_range + 1 (clipped at 0), so the last symbol is reachable
@@ -125,6 +114,39 @@ def get_rnnt_prune_ranges_rows(
     s_begin = adjust_pruning_lower_bound(s_begin, 2 if T1 == T else s_range)
 
     return s_begin[:, :, None] + jnp.arange(s_range, dtype=jnp.int32)
+
+
+def _window_argmax(
+    px_grad_rows: jax.Array, py_grad_rows: jax.Array, s_range: int
+) -> jax.Array:
+    """argmax_k of (window-sum of py_grad - px_grad entry) per frame
+    (rnnt_loss.py:722-729).  On TPU: one streaming Pallas pass
+    (kernels/ranges.py); elsewhere: padded cumsum + argmax in XLA.
+
+    The result is integer window starts — non-differentiable by
+    construction — so tangents are stopped at the inputs (pallas_call has
+    no JVP rule; the XLA argmax would drop them anyway)."""
+    from .recursion import _resolve_default
+
+    px_grad_rows = jax.lax.stop_gradient(px_grad_rows)
+    py_grad_rows = jax.lax.stop_gradient(py_grad_rows)
+
+    S1, B, T = py_grad_rows.shape
+    T1 = px_grad_rows.shape[2]
+    if _resolve_default() == "pallas":
+        from .kernels.ranges import window_argmax_rows_pallas
+
+        return window_argmax_rows_pallas(py_grad_rows, px_grad_rows, s_range)
+    cumsum = jnp.cumsum(py_grad_rows, axis=0)  # (S1, B, T)
+    cumsum = jnp.concatenate(
+        [jnp.zeros((1, B, T), dtype=cumsum.dtype), cumsum], axis=0
+    )  # (S1+1, B, T)
+    blk_sum_grad = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
+    px_grad_pad = jnp.concatenate(
+        [jnp.zeros((1, B, T1), dtype=px_grad_rows.dtype), px_grad_rows], axis=0
+    )  # (S1, B, T1)
+    final_grad = blk_sum_grad - px_grad_pad[: S1 - s_range + 1, :, :T]
+    return jnp.argmax(final_grad, axis=0).astype(jnp.int32)  # (B, T)
 
 
 def do_rnnt_pruning(

@@ -112,3 +112,46 @@ def test_s_range_too_small_raises():
     px_grad, py_grad, boundary, _, _ = _grads(rng)
     with pytest.raises(ValueError):
         get_rnnt_prune_ranges(px_grad, py_grad, boundary, 1)
+
+
+def test_window_argmax_kernel_matches_xla():
+    """The Pallas rolling-window argmax (kernels/ranges.py) must match the
+    cumsum+argmax XLA formulation exactly — including first-max
+    tie-breaking — across window widths and both px widths."""
+    import jax.numpy as jnp
+
+    from fast_rnnt_tpu.ops.kernels.ranges import window_argmax_rows_pallas
+    from fast_rnnt_tpu.ops.pruning import _window_argmax
+
+    rng = np.random.default_rng(17)
+    for S, B, T, regular in [(6, 3, 10, True), (9, 2, 7, False), (4, 5, 12, True)]:
+        S1 = S + 1
+        T1 = T + 1 if regular else T
+        gx = jnp.asarray(rng.random((S, B, T1)).astype(np.float32))
+        gy = jnp.asarray(rng.random((S1, B, T)).astype(np.float32))
+        # exact ties to pin first-max semantics
+        gy = jnp.round(gy * 4) / 4
+        gx = jnp.round(gx * 4) / 4
+        for K in (1, 2, 3, S1):
+            want = np.asarray(_window_argmax_xla(gx, gy, K))
+            got = np.asarray(
+                window_argmax_rows_pallas(gy, gx, K, interpret=True)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"S={S} K={K}")
+
+
+def _window_argmax_xla(px_grad_rows, py_grad_rows, s_range):
+    import jax.numpy as jnp
+
+    S1, B, T = py_grad_rows.shape
+    T1 = px_grad_rows.shape[2]
+    cumsum = jnp.cumsum(py_grad_rows, axis=0)
+    cumsum = jnp.concatenate(
+        [jnp.zeros((1, B, T), dtype=cumsum.dtype), cumsum], axis=0
+    )
+    blk = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
+    px_pad = jnp.concatenate(
+        [jnp.zeros((1, B, T1), dtype=px_grad_rows.dtype), px_grad_rows], axis=0
+    )
+    final = blk - px_pad[: S1 - s_range + 1, :, :T]
+    return jnp.argmax(final, axis=0).astype(jnp.int32)
