@@ -42,15 +42,20 @@ def make_inputs(seed=0):
 
 
 def step_fn(am, lm, symbols, boundary):
+    lattice_dtype = jnp.bfloat16 if am.dtype == jnp.bfloat16 else None
+
     def loss_fn(am, lm):
         # The benchmark workload's joiner is additive (logits = am_p + lm_p),
         # so the fused band-native pipeline applies: numerically equal to
         # rnnt_loss_simple(calc_gradients=True) -> get_rnnt_prune_ranges ->
         # do_rnnt_pruning -> rnnt_loss_pruned(am_p + lm_p, ...) (parity-
-        # tested in tests/test_losses.py), but the lattice is built once
-        # and the [B, T, s_range, C] logits are never materialized.
+        # tested in tests/test_losses.py), but the lattice is built once,
+        # band-masked in-register, and the [B, T, s_range, C] logits are
+        # never materialized.  bf16 inputs also store the lattice bf16
+        # (recursion still computes f32 in-register).
         simple_loss, pruned_loss, _ranges = frt.rnnt_loss_simple_pruned(
-            lm, am, symbols, 0, S_RANGE, boundary, reduction="sum"
+            lm, am, symbols, 0, S_RANGE, boundary, reduction="sum",
+            lattice_dtype=lattice_dtype,
         )
         return 0.5 * simple_loss + pruned_loss
 

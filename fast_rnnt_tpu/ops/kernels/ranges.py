@@ -51,16 +51,16 @@ def _kernel(
     def _():
         acc[:, :] = jnp.zeros_like(acc[:, :])
 
-    # window gains row i
-    a = acc[:, :] + gy_in_ref[0]
+    # window gains row i (f32 accumulate even for bf16 occupancies)
+    a = acc[:, :] + gy_in_ref[0].astype(jnp.float32)
     # ...and drops row i-K once the window is full
-    a = jnp.where(i >= K, a - gy_out_ref[0], a)
+    a = jnp.where(i >= K, a - gy_out_ref[0].astype(jnp.float32), a)
     acc[:, :] = a
 
     # window [k, k+K) complete at i = k+K-1; score = acc - px_grad[k-1]
     # (the k = 0 window has no px term: px_grad_pad[0] = 0)
     k = i - (K - 1)
-    score = jnp.where(k > 0, a - gx_ref[0], a)
+    score = jnp.where(k > 0, a - gx_ref[0].astype(jnp.float32), a)
 
     @pl.when(i == K - 1)
     def _():
@@ -127,8 +127,8 @@ def window_argmax_rows_pallas(
             _out_struct((B, T), jnp.int32, py_grad_rows, px_grad_rows)
         ],
         scratch_shapes=[
-            pltpu.VMEM((bblk, W), py_grad_rows.dtype),
-            pltpu.VMEM((bblk, W), py_grad_rows.dtype),
+            pltpu.VMEM((bblk, W), jnp.float32),
+            pltpu.VMEM((bblk, W), jnp.float32),
             pltpu.VMEM((bblk, W), jnp.int32),
         ],
         interpret=interpret,

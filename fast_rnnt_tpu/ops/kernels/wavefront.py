@@ -180,8 +180,11 @@ def _fwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
 
     s = pl.program_id(1)
     bvec = bvec_ref[...]  # (bblk, 4) int32
-    pxr = px_ref[0]  # (bblk, W); row s-1 (clamped at 0)
-    pyr = py_ref[0]  # (bblk, W); row s
+    # compute in f32 regardless of the storage dtype: sub-f32 lattices
+    # (the bf16 mixed-precision mode) still recurse at full precision —
+    # only the HBM copies are rounded
+    pxr = px_ref[0].astype(jnp.float32)  # (bblk, W); row s-1 (clamped at 0)
+    pyr = py_ref[0].astype(jnp.float32)  # (bblk, W); row s
     t = jax.lax.broadcasted_iota(jnp.int32, pxr.shape, 1)
     pxm, pym = _row_masks(s - 1, s, bvec, t, modified, lo, K)
 
@@ -205,8 +208,8 @@ def _fwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
     coeff = _shift_right(py_eff, 1, NEG_INF)  # coeff[t] = py[s, t-1]
     p_row = _log_scan_row(coeff, b)
 
-    p_ref[0] = p_row
-    prev_p[:, :] = p_row
+    p_ref[0] = p_row.astype(p_ref.dtype)
+    prev_p[:, :] = p_row  # f32 carry even when p is stored narrower
 
     # scores[b] = p[s_end, t_end]: harvest when this row is the end row
     val = jnp.max(
@@ -295,10 +298,12 @@ def forward_rows_pallas(
             score_spec,
         ],
         out_shape=[
+            # p inherits the storage dtype (bf16 lattice mode stores a
+            # rounded p; the in-kernel row carry stays f32)
             _out_struct((S + 1, B, W), dt, px_rows, py_rows, boundary),
-            _out_struct((B, 1), dt, px_rows, py_rows, boundary),
+            _out_struct((B, 1), jnp.float32, px_rows, py_rows, boundary),
         ],
-        scratch_shapes=[pltpu.VMEM((bblk, W), dt)],
+        scratch_shapes=[pltpu.VMEM((bblk, W), jnp.float32)],
         interpret=interpret,
     )(*inputs)
 
@@ -322,9 +327,10 @@ def _bwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
 
     s = S - pl.program_id(1)  # descending
     bvec = bvec_ref[...]
-    pxr = px_ref[0]  # row min(s, S-1); masked off entirely when s == S
-    pyr = py_ref[0]  # row s
-    p_cur = pcur_ref[0]
+    # f32 compute regardless of storage dtype (see _fwd_kernel)
+    pxr = px_ref[0].astype(jnp.float32)  # row min(s, S-1); masked when s == S
+    pyr = py_ref[0].astype(jnp.float32)  # row s
+    p_cur = pcur_ref[0].astype(jnp.float32)
     t = jax.lax.broadcasted_iota(jnp.int32, pxr.shape, 1)
     # px arcs OUT of row s (s -> s+1): valid iff s in [sb, se)
     pxm, pym = _row_masks(s, s, bvec, t, modified, lo, K)
@@ -357,8 +363,8 @@ def _bwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
     term2 = safe_exp(p_cur + py_eff - _shift_left(p_cur, 1, 0.0))
     g = _rev_linear_scan_row(term2, b)
 
-    pxg_ref[0] = h_px
-    pyg_ref[0] = term2 * _shift_left(g, 1, 0.0)
+    pxg_ref[0] = h_px.astype(pxg_ref.dtype)
+    pyg_ref[0] = (term2 * _shift_left(g, 1, 0.0)).astype(pyg_ref.dtype)
     g_scratch[:, :] = g
     pnext_scratch[:, :] = p_cur
 
@@ -396,7 +402,7 @@ def backward_rows_pallas(
     dt = px_rows.dtype
 
     bvec = boundary.astype(jnp.int32)
-    ag = ans_grad.astype(dt)[:, None]  # (B, 1)
+    ag = ans_grad.astype(jnp.float32)[:, None]  # (B, 1)
 
     row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
     bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
@@ -437,8 +443,8 @@ def backward_rows_pallas(
             _out_struct((S + 1, B, T), dt, px_rows, py_rows, p_rows, ans_grad),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bblk, W), dt),
-            pltpu.VMEM((bblk, W), dt),
+            pltpu.VMEM((bblk, W), jnp.float32),
+            pltpu.VMEM((bblk, W), jnp.float32),
         ],
         interpret=interpret,
     )(*inputs)

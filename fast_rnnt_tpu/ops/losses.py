@@ -387,6 +387,7 @@ def rnnt_loss_simple_pruned(
     delay_penalty: float = 0.0,
     reduction: Optional[str] = "mean",
     impl: Optional[str] = None,
+    lattice_dtype=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused two-stage pruned training pipeline for the additive joiner.
 
@@ -432,6 +433,14 @@ def rnnt_loss_simple_pruned(
     px_simple_rows = _apply_delay_penalty_rows(
         px_simple_rows, boundary, rnnt_type, delay_penalty
     )
+    if lattice_dtype is not None:
+        # bf16 mixed-precision mode: the lattice's HBM copies are stored
+        # narrow (the casts fuse into the assembly writes) while every
+        # recursion computes in f32 in-register — ~2x less lattice traffic
+        # on the HBM-bound step at ~1e-3 relative loss error
+        px_simple_rows = px_simple_rows.astype(lattice_dtype)
+        px0_rows = px0_rows.astype(lattice_dtype)
+        py_rows = py_rows.astype(lattice_dtype)
     neg_simple, (gx_rows, gy_rows) = mutual_information_rows(
         px_simple_rows, py_rows, boundary, calc_gradients=True, impl=impl
     )

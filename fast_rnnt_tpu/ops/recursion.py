@@ -109,6 +109,15 @@ def _apply_boundary_mask(
     return px, py
 
 
+def _promote_subf32(x: jax.Array) -> jax.Array:
+    """Recursion math runs at >= f32 (the bf16 mixed-precision mode only
+    narrows the HBM storage; matches the Pallas kernels' in-register
+    upcast)."""
+    if jnp.issubdtype(x.dtype, jnp.floating) and jnp.finfo(x.dtype).bits < 32:
+        return x.astype(jnp.float32)
+    return x
+
+
 def _mask_rows(
     px_rows: jax.Array,
     py_rows: jax.Array,
@@ -165,6 +174,7 @@ def _forward_rows_xla(
     modified = T1 == T  # same inference as the kernel (.cu:190-192)
 
     px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
+    px_t, py_t = _promote_subf32(px_t), _promote_subf32(py_t)
 
     # px_pad[s] holds px[s-1] (row s's incoming symbol arcs); row 0 is
     # -inf (no arcs into row 0 from below).
@@ -221,6 +231,7 @@ def _forward_scores_rows_xla(
     modified = T1 == T
 
     px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
+    px_t, py_t = _promote_subf32(px_t), _promote_subf32(py_t)
     pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     px_pad = jnp.concatenate([pad_row, px_t], axis=0)
 
@@ -288,12 +299,14 @@ def _backward_rows_xla(
     T = py_rows.shape[2]
     modified = T1 == T
 
+    store_dt = px_rows.dtype
     px_t, py_t = _mask_rows(px_rows, py_rows, boundary, modified, lo, K)
+    px_t, py_t = _promote_subf32(px_t), _promote_subf32(py_t)
     pad_row = jax.lax.full_like(px_t, NEG_INF, shape=(1, B, T1))
     # px_pad2[s] = px[s] for s < S; -inf for s = S (no arcs out of row S).
     px_pad2 = jnp.concatenate([px_t, pad_row], axis=0)  # (S+1, B, T1)
 
-    p_t = p_rows[:, :, : T + 1]  # (S+1, B, T+1)
+    p_t = _promote_subf32(p_rows[:, :, : T + 1])  # (S+1, B, T+1)
     zeros_row = jax.lax.full_like(p_t, 0.0, shape=(1, B, T + 1))
     p_next_t = jnp.concatenate([p_t[1:], zeros_row], axis=0)  # p[s+1] rows
 
@@ -328,7 +341,7 @@ def _backward_rows_xla(
         step, init, (s_idx, px_pad2, py_t, p_t, p_next_t), reverse=True
     )
     # Trim the s = S px row (identically zero: px_pad2[S] = -inf).
-    return pxg_rows[:S], pyg_rows
+    return pxg_rows[:S].astype(store_dt), pyg_rows.astype(store_dt)
 
 
 # --- legacy (B, S, T)-major wrappers (the register_impl interface) ----------

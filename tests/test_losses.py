@@ -548,3 +548,39 @@ def test_rnnt_loss_chunked_memory_is_chunk_bound():
     # materialized holds several [B,T,S+1,C] = 13 MB tensors; chunked holds
     # [B,32,S+1,C] = 1.6 MB transients
     assert mb_chk < 0.45 * mb_mat, (mb_chk, mb_mat)
+
+
+def test_bf16_lattice_mode():
+    """lattice_dtype=bf16 (the full mixed-precision production mode: narrow
+    HBM storage, f32 in-register recursion) must track the fp32 pipeline
+    to bf16-level tolerance for losses, ranges, and gradients."""
+    from fast_rnnt_tpu import rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(88)
+    lm, am, symbols, boundary = _inputs(rng, B=3, T=12, S=6, C=16)
+
+    def total(am, lm, dt):
+        s, p, r = rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum",
+            lattice_dtype=dt,
+        )
+        return 0.5 * s + p, r
+
+    l32, g32 = jax.value_and_grad(
+        lambda a, l: total(a, l, None)[0], argnums=(0, 1)
+    )(am, lm)
+    lbf, gbf = jax.value_and_grad(
+        lambda a, l: total(a, l, jnp.bfloat16)[0], argnums=(0, 1)
+    )(am, lm)
+    np.testing.assert_allclose(float(l32), float(lbf), rtol=5e-3)
+    # ranges from bf16 occupancies stay valid windows
+    _, rbf = jax.jit(lambda a, l: total(a, l, jnp.bfloat16))(am, lm)
+    rb = np.asarray(rbf)
+    assert (np.diff(rb[:, :, 0], axis=1) >= 0).all()
+    assert rb.min() >= 0
+    # gradients finite and close at bf16 tolerance
+    for a, b in zip(g32, gbf):
+        assert np.all(np.isfinite(np.asarray(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0.06
+        )
