@@ -76,22 +76,6 @@ def _check_rnnt_type(rnnt_type: str) -> None:
         raise ValueError(f"rnnt_type must be one of {RNNT_TYPES}, got {rnnt_type!r}")
 
 
-# The fused rowwise Pallas kernel (kernels/rowwise.py) reads the logits
-# once, but on v5e the XLA-fused compare+reduce path still wins (XLA fuses
-# the joiner add into its reductions; the unaligned vocab dim and the
-# (N, 1) output layout cost the kernel more than the saved passes), so it
-# is OFF by default.  Set True to experiment (e.g. large vocabs).
-_FUSED_ROWWISE: Optional[bool] = False
-
-
-def _use_fused_rowwise() -> bool:
-    if _FUSED_ROWWISE is not None:
-        return _FUSED_ROWWISE
-    from .recursion import _resolve_default
-
-    return _resolve_default() == "pallas"
-
-
 def _symbol_onehot(symbols: jax.Array, C: int, dtype) -> jax.Array:
     """One-hot of the symbol ids, [B, S, C].  Gather-free building block:
     per-row gathers lower to very slow TPU code, while one-hot einsums ride
@@ -311,49 +295,26 @@ def get_rnnt_logprobs_joint(
     B, T, S1, C = logits.shape
     S = S1 - 1
 
-    if _use_fused_rowwise():
-        from .kernels.rowwise import rowwise_logprobs
+    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, S+1]
+    normalizers = jnp.swapaxes(normalizers, 1, 2)  # [B, S+1, T]
 
-        sym_rows = jnp.broadcast_to(
-            jnp.concatenate(
-                [
-                    symbols.astype(jnp.int32),
-                    jnp.full((B, 1), termination_symbol, jnp.int32),
-                ],
-                axis=1,
-            )[:, None, :],
-            (B, T, S1),
+    # px[b, t, s] = logits[b, t, s, symbols[b, s]]: fused compare+reduce
+    sym_onehot = _symbol_onehot(symbols, C, logits.dtype)  # [B, S, C]
+    px = jnp.einsum(
+        "btsc,bsc->bst",
+        logits[:, :, :S, :],
+        sym_onehot,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )  # [B, S, T]
+    if rnnt_type == "regular":
+        px = jnp.concatenate(
+            [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
         )
-        px_f, py_f = rowwise_logprobs(
-            logits.reshape(-1, C), sym_rows.reshape(-1), int(termination_symbol)
-        )
-        px = jnp.swapaxes(px_f.reshape(B, T, S1), 1, 2)[:, :S, :]  # [B, S, T]
-        py = jnp.swapaxes(py_f.reshape(B, T, S1), 1, 2)  # [B, S+1, T]
-        if rnnt_type == "regular":
-            px = jnp.concatenate(
-                [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
-            )
-    else:
-        normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, S+1]
-        normalizers = jnp.swapaxes(normalizers, 1, 2)  # [B, S+1, T]
+    px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
 
-        # px[b, t, s] = logits[b, t, s, symbols[b, s]]: fused compare+reduce
-        sym_onehot = _symbol_onehot(symbols, C, logits.dtype)  # [B, S, C]
-        px = jnp.einsum(
-            "btsc,bsc->bst",
-            logits[:, :, :S, :],
-            sym_onehot,
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(),
-        )  # [B, S, T]
-        if rnnt_type == "regular":
-            px = jnp.concatenate(
-                [px, jnp.full((B, S, 1), NEG_INF, dtype=px.dtype)], axis=2
-            )
-        px = px - _pad_normalizers(normalizers, rnnt_type)[:, :S, :]
-
-        py = jnp.swapaxes(logits[:, :, :, termination_symbol], 1, 2)  # [B, S+1, T]
-        py = py - normalizers
+    py = jnp.swapaxes(logits[:, :, :, termination_symbol], 1, 2)  # [B, S+1, T]
+    py = py - normalizers
 
     if rnnt_type == "regular":
         px = fix_for_boundary(px, boundary)
@@ -446,34 +407,25 @@ def get_rnnt_logprobs_pruned(
         .astype(jnp.int32)
     )  # [B, T, s_range]
 
-    # px[b,t,k] = logits[b,t,k,sym] - lse;  py = logits[b,t,k,blank] - lse.
-    # On TPU: single-pass fused Pallas kernel; elsewhere: fused compare+
-    # reduce + logsumexp in XLA.
-    if _use_fused_rowwise():
-        from .kernels.rowwise import rowwise_logprobs
-
-        px_f, py_f = rowwise_logprobs(
-            logits.reshape(-1, C),
-            pruned_symbols.reshape(-1),
-            int(termination_symbol),
+    # px[b,t,k] = logits[b,t,k,sym] - lse;  py = logits[b,t,k,blank] - lse
+    # (fused compare+reduce + logsumexp; XLA fuses all of it into two
+    # passes over the pruned logits — measured faster than a hand-written
+    # Pallas rowwise kernel on v5e, whose lane-reductions and (N, 1)
+    # output layouts cost more than the saved pass)
+    normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, s_range]
+    px = (
+        jnp.sum(
+            jnp.where(
+                pruned_symbols[:, :, :, None]
+                == jnp.arange(C, dtype=jnp.int32),
+                logits,
+                0.0,
+            ),
+            axis=3,
         )
-        px = px_f.reshape(B, T, s_range)
-        py_band = py_f.reshape(B, T, s_range)
-    else:
-        normalizers = jax.nn.logsumexp(logits, axis=3)  # [B, T, s_range]
-        px = (
-            jnp.sum(
-                jnp.where(
-                    pruned_symbols[:, :, :, None]
-                    == jnp.arange(C, dtype=jnp.int32),
-                    logits,
-                    0.0,
-                ),
-                axis=3,
-            )
-            - normalizers
-        )
-        py_band = logits[:, :, :, termination_symbol] - normalizers
+        - normalizers
+    )
+    py_band = logits[:, :, :, termination_symbol] - normalizers
     # place each frame's window at its absolute symbol offset, -inf elsewhere
     px = scatter_window(px, ranges[:, :, 0], S + 1)[:, :, :S]  # [B, T, S]
     px = jnp.swapaxes(px, 1, 2)  # [B, S, T]

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from fast_rnnt_tpu.models import (
     LossConfig,
@@ -23,7 +24,10 @@ from fast_rnnt_tpu.models import (
 from fast_rnnt_tpu.parallel import make_mesh, shard_batch
 
 
+@pytest.mark.slow
 def test_overfit_then_greedy_decode_recovers_targets():
+    # 200 optimizer steps on the one slow CI core; the default suite covers
+    # decode mechanics (below) and training convergence (test_models)
     cfg = TransducerConfig(
         vocab_size=16, feature_dim=8, d_model=32, d_joiner=32,
         num_layers=1, num_heads=2, conv_kernel=7, dtype=jnp.float32,

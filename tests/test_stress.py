@@ -36,7 +36,15 @@ def _stress_inputs(seed=12345, B=2, T=200, S=50, C=50):
     return am, lm, symbols, boundary
 
 
-@pytest.mark.parametrize("s_range", [5, 10, 20, 51])
+@pytest.mark.parametrize(
+    "s_range",
+    [
+        5,
+        pytest.param(10, marks=pytest.mark.slow),
+        pytest.param(20, marks=pytest.mark.slow),
+        51,
+    ],
+)
 def test_pruned_pipeline_stress(s_range):
     am, lm, symbols, boundary = _stress_inputs()
     B, T, C = am.shape
