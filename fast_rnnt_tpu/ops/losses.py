@@ -333,6 +333,7 @@ def rnnt_loss_pruned_simple(
     delay_penalty: float = 0.0,
     reduction: Optional[str] = "mean",
     impl: Optional[str] = None,
+    lattice_dtype=None,
 ) -> jax.Array:
     """Pruned RNN-T loss for the ADDITIVE joiner, band-native.
 
@@ -369,6 +370,9 @@ def rnnt_loss_pruned_simple(
         py_banded = band_mask_rows_smajor(py_rows, lo, K)
         px_rows = px_rows + py_banded[1:]
     px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    if lattice_dtype is not None:
+        px_rows = px_rows.astype(lattice_dtype)
+        py_rows = py_rows.astype(lattice_dtype)
     bnd = _normalize_boundary(boundary, am.shape[0], symbols.shape[1], am.shape[1])
     negated_loss = mutual_information_rows(
         px_rows, py_rows, bnd, lo=lo, s_range=K, calc_gradients=False, impl=impl
@@ -479,6 +483,7 @@ def rnnt_loss_smoothed_pruned(
     delay_penalty: float = 0.0,
     reduction: Optional[str] = "mean",
     impl: Optional[str] = None,
+    lattice_dtype=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused two-stage pipeline with a SMOOTHED first stage.
 
@@ -507,6 +512,9 @@ def rnnt_loss_smoothed_pruned(
     px_sm_rows = _apply_delay_penalty_rows(
         px_sm_rows, boundary, rnnt_type, delay_penalty
     )
+    if lattice_dtype is not None:
+        px_sm_rows = px_sm_rows.astype(lattice_dtype)
+        py_sm_rows = py_sm_rows.astype(lattice_dtype)
     neg_smoothed, (gx_rows, gy_rows) = mutual_information_rows(
         px_sm_rows, py_sm_rows, boundary, calc_gradients=True, impl=impl
     )
@@ -526,6 +534,9 @@ def rnnt_loss_smoothed_pruned(
         py_banded = band_mask_rows_smajor(py_rows, lo, K)
         px_rows = px_rows + py_banded[1:]
     px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
+    if lattice_dtype is not None:
+        px_rows = px_rows.astype(lattice_dtype)
+        py_rows = py_rows.astype(lattice_dtype)
     neg_pruned = mutual_information_rows(
         px_rows, py_rows, boundary, lo=lo, s_range=K,
         calc_gradients=False, impl=impl,

@@ -149,7 +149,9 @@ def test_out_of_range_boundary_clamped_consistently():
         )
 
 
-@pytest.mark.parametrize("modified", [False, True])
+@pytest.mark.parametrize(
+    "modified", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_pallas_banded_matches_masked(modified):
     """In-kernel band masking (the pruned stage-2 fast path) must equal
     band-masking the lattice in XLA and running the plain recursion —

@@ -124,7 +124,7 @@ def test_window_argmax_kernel_matches_xla():
     from fast_rnnt_tpu.ops.pruning import _window_argmax
 
     rng = np.random.default_rng(17)
-    for S, B, T, regular in [(6, 3, 10, True), (9, 2, 7, False), (4, 5, 12, True)]:
+    for S, B, T, regular in [(6, 3, 10, True), (9, 2, 7, False)]:
         S1 = S + 1
         T1 = T + 1 if regular else T
         gx = jnp.asarray(rng.random((S, B, T1)).astype(np.float32))

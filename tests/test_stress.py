@@ -118,7 +118,7 @@ def test_pruned_loss_decreases_with_wider_windows():
         lm, am, symbols, 0, boundary, reduction="none", calc_gradients=True
     )
     losses = []
-    for s_range in (2, 4, 8, 16, 21):
+    for s_range in (2, 8, 21):
         ranges = frt.get_rnnt_prune_ranges(gx, gy, boundary, s_range)
         losses.append(
             float(
