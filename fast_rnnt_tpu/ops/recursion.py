@@ -450,27 +450,29 @@ def _get_impl(impl: Optional[str]):
 def _resolve_impl_for_dtype(impl: Optional[str], dtype) -> Optional[str]:
     """Dtype policy for the lattice implementations.
 
-    The Pallas kernels are float32-only by design: f64 is software-emulated
-    on TPU (the reference's double CUDA instantiations,
-    mutual_information_cuda.cu:1015-1036, have no TPU analogue) and sub-f32
-    floats would run the recursion itself at bf16 precision, which the
-    numerics contract (ops/numerics.py) does not cover.  So:
+    The Pallas kernels handle float32 natively and sub-f32 floats (bf16,
+    f16) as STORAGE dtypes — tiles are upcast in-register and the
+    recursion computes f32 (the mixed-precision lattice mode).  f64 is
+    software-emulated on TPU (the reference's double CUDA instantiations,
+    mutual_information_cuda.cu:1015-1036, have no TPU analogue), so:
 
-      * auto/None: non-float32 inputs route to the dtype-generic XLA scan
-        core (f64-tested in tests/test_recursion.py) instead of "pallas".
-      * explicit impl="pallas" with a non-float32 dtype: loud TypeError —
-        never a silent downcast.
+      * auto/None: f64 (and wider) inputs route to the dtype-generic XLA
+        scan core (f64-tested in tests/test_recursion.py), never "pallas".
+      * explicit impl="pallas" with f64: loud TypeError — never a silent
+        downcast.
     """
     dtype = jnp.dtype(dtype)
-    if dtype == jnp.float32:
+    if not (
+        jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits > 32
+    ):
         return impl
     if impl in (None, "auto"):
         resolved = _resolve_default()
         return "xla" if resolved == "pallas" else resolved
     if impl == "pallas":
         raise TypeError(
-            f"impl='pallas' supports float32 only, got {dtype}; cast the "
-            "inputs or use impl='xla' (dtype-generic)"
+            f"impl='pallas' supports float32 and narrower floats only, got "
+            f"{dtype}; cast the inputs or use impl='xla' (dtype-generic)"
         )
     return impl
 
@@ -756,8 +758,9 @@ def mutual_information_recursion(
         them are dropped; only the scores output propagates gradients.
       impl: lattice implementation: "xla" (associative-scan core),
         "pallas" (TPU wavefront kernel, once registered), or None/"auto".
-        Non-float32 inputs auto-route to "xla" (the Pallas kernels are
-        f32-only; explicitly requesting them with f64 raises).
+        f64 inputs auto-route to "xla" (explicitly requesting pallas
+        with f64 raises); bf16/f16 inputs are treated as narrow STORAGE
+        over an f32 in-register recursion by every impl.
       debug_self_check: if True, verify in-graph that the occupancy
         backward round-trips the seeded cotangent through the lattice
         origin (the reference's always-on kernel debug check,

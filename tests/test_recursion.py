@@ -332,8 +332,38 @@ def test_f64_dtype_policy():
         finally:
             rec._DEFAULT_IMPL = old
 
-        with pytest.raises(TypeError, match="float32 only"):
+        with pytest.raises(TypeError, match="float32"):
             mutual_information_recursion(px, py, None, impl="pallas")
+
+
+def test_bf16_storage_through_pallas():
+    """bf16 px/py are a supported STORAGE dtype for the Pallas kernels
+    (upcast in-register, f32 recursion): explicit impl="pallas" must work
+    and track the f32 result to bf16 tolerance."""
+    from fast_rnnt_tpu.ops.kernels import register
+
+    register(default=False, interpret=jax.default_backend() == "cpu")
+    rng = np.random.default_rng(21)
+    B, S, T = 2, 5, 9
+    px, py = _random_pxpy(rng, B, S, T)
+    s32 = mutual_information_recursion(
+        jnp.asarray(px), jnp.asarray(py), None, impl="pallas"
+    )
+    sbf, (gx, gy) = mutual_information_recursion(
+        jnp.asarray(px).astype(jnp.bfloat16),
+        jnp.asarray(py).astype(jnp.bfloat16),
+        None, calc_gradients=True, impl="pallas",
+    )
+    assert sbf.dtype == jnp.float32  # scores always f32
+    assert gx.dtype == jnp.bfloat16  # occupancies inherit storage dtype
+    np.testing.assert_allclose(
+        np.asarray(s32), np.asarray(sbf), rtol=5e-2, atol=0.1
+    )
+    occ = np.asarray(gx.astype(jnp.float32)).sum((1, 2)) + np.asarray(
+        gy.astype(jnp.float32)
+    ).sum((1, 2))
+    # bf16 storage rounds each occupancy cell (~0.4%); flows sum to ~7%
+    np.testing.assert_allclose(occ, S + T, rtol=8e-2)
 
 
 def test_debug_self_check_passes_and_fails():
