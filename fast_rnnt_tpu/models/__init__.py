@@ -1,4 +1,5 @@
-from .decoding import greedy_search, modified_beam_search
+from .decoding import greedy_over_frames, greedy_search, modified_beam_search
+from .streaming import StreamingConfig, streaming_init, streaming_step
 from .training import (
     LossConfig,
     init_model,
@@ -21,8 +22,12 @@ __all__ = [
     "Predictor",
     "PrunedTransducer",
     "TransducerConfig",
+    "greedy_over_frames",
     "greedy_search",
     "init_model",
+    "StreamingConfig",
+    "streaming_init",
+    "streaming_step",
     "modified_beam_search",
     "make_boundary",
     "make_train_step",

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .transducer import PrunedTransducer, TransducerConfig
 
-__all__ = ["greedy_search", "modified_beam_search"]
+__all__ = ["greedy_search", "greedy_over_frames", "modified_beam_search"]
 
 
 def _encode(model: PrunedTransducer, params: Any, features, feature_lens):
@@ -49,33 +49,35 @@ def _predictor_last(model: PrunedTransducer, params: Any, ctx: jax.Array):
     return lm_all[:, -1, :]  # (B, d_joiner)
 
 
-def greedy_search(
+def greedy_over_frames(
     model: PrunedTransducer,
     params: Any,
-    features: jax.Array,
-    feature_lens: jax.Array,
+    am: jax.Array,
+    frame_active: jax.Array,
+    ctx: jax.Array,
+    hyps: jax.Array,
+    lens: jax.Array,
     max_symbols_per_frame: int = 4,
-    max_len: int = 256,
-) -> Tuple[jax.Array, jax.Array]:
-    """Batched greedy (max-prob) transducer decoding.
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy-decode a block of encoder frames, resuming from carried state.
+
+    The core frame loop shared by offline :func:`greedy_search` and the
+    chunked :mod:`streaming` decoder (which calls it once per chunk with
+    the carried (ctx, hyps, lens)).
 
     Args:
-      model/params: a PrunedTransducer and its variables.
-      features: (B, T_in, feature_dim) float.
-      feature_lens: (B,) int frame counts before subsampling.
-      max_symbols_per_frame: emission cap per frame (keeps shapes static).
-      max_len: output buffer length.
+      am: (B, T_blk, d_joiner) joiner-space encoder rows for this block.
+      frame_active: (B, T_blk) bool — frames past an utterance's end emit
+        nothing (their state passes through unchanged).
+      ctx: (B, k) rolling predictor symbol context.
+      hyps / lens: (B, max_len) int32 output buffer and (B,) counts.
 
-    Returns:
-      (hyps, hyp_lens): int32 (B, max_len) padded with blank, and (B,) counts.
+    Returns the updated (ctx, hyps, lens).
     """
     cfg: TransducerConfig = model.cfg
     blank = cfg.blank_id
-    k = max(cfg.predictor_context, 1)
-
-    # encode once
-    am, out_lens = _encode(model, params, features, feature_lens)
-    B, T, _ = am.shape
+    B, T_blk, _ = am.shape
+    max_len = hyps.shape[1]
 
     def join_logits(am_rows, lm_rows):
         # joiner expects (B, T, s_range, d); use T = s_range = 1 slices
@@ -87,10 +89,9 @@ def greedy_search(
         )
         return lg[:, 0, 0, :]  # (B, C)
 
-    def frame_step(carry, t):
+    def frame_step(carry, inputs):
+        am_t, active_frame = inputs  # (B, d), (B,)
         ctx, hyps, lens = carry
-        am_t = jax.lax.dynamic_slice_in_dim(am, t, 1, axis=1)[:, 0, :]
-        active_frame = t < out_lens  # (B,)
 
         def emit(i, inner):
             ctx, hyps, lens, emitting = inner
@@ -117,11 +118,49 @@ def greedy_search(
         )
         return (ctx, hyps, lens), None
 
-    ctx0 = jnp.full((B, k), blank, jnp.int32)
-    hyps0 = jnp.full((B, max_len), blank, jnp.int32)
-    lens0 = jnp.zeros((B,), jnp.int32)
     (ctx, hyps, lens), _ = jax.lax.scan(
-        frame_step, (ctx0, hyps0, lens0), jnp.arange(T)
+        frame_step,
+        (ctx, hyps, lens),
+        (jnp.moveaxis(am, 0, 1), jnp.moveaxis(frame_active, 0, 1)),
+    )
+    return ctx, hyps, lens
+
+
+def greedy_search(
+    model: PrunedTransducer,
+    params: Any,
+    features: jax.Array,
+    feature_lens: jax.Array,
+    max_symbols_per_frame: int = 4,
+    max_len: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched greedy (max-prob) transducer decoding.
+
+    Args:
+      model/params: a PrunedTransducer and its variables.
+      features: (B, T_in, feature_dim) float.
+      feature_lens: (B,) int frame counts before subsampling.
+      max_symbols_per_frame: emission cap per frame (keeps shapes static).
+      max_len: output buffer length.
+
+    Returns:
+      (hyps, hyp_lens): int32 (B, max_len) padded with blank, and (B,) counts.
+    """
+    cfg: TransducerConfig = model.cfg
+    k = max(cfg.predictor_context, 1)
+
+    # encode once
+    am, out_lens = _encode(model, params, features, feature_lens)
+    B, T, _ = am.shape
+    frame_active = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, T), 1) < out_lens[:, None]
+    )
+    ctx0 = jnp.full((B, k), cfg.blank_id, jnp.int32)
+    hyps0 = jnp.full((B, max_len), cfg.blank_id, jnp.int32)
+    lens0 = jnp.zeros((B,), jnp.int32)
+    _, hyps, lens = greedy_over_frames(
+        model, params, am, frame_active, ctx0, hyps0, lens0,
+        max_symbols_per_frame=max_symbols_per_frame,
     )
     return hyps, lens
 

@@ -39,6 +39,14 @@ class TransducerConfig:
     predictor_context: int = 2
     blank_id: int = 0
     dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params stay fp32
+    # Streaming-capable encoder variant (models/streaming.py): causal
+    # convolutions (left-padded subsampling + conv modules) and attention
+    # restricted to [q - attention_left_context, q] encoder frames.  With
+    # causal=True the encoder has ZERO right context, so chunked streaming
+    # inference reproduces the offline outputs exactly once the rolling
+    # buffer covers the receptive field (tested in test_streaming.py).
+    causal: bool = False
+    attention_left_context: Optional[int] = None  # encoder frames; None = all
 
 
 class FeedForward(nn.Module):
@@ -70,7 +78,11 @@ class ConvModule(nn.Module):
             features=d,
             kernel_size=(self.cfg.conv_kernel,),
             feature_group_count=d,
-            padding="SAME",
+            # causal: depthwise conv sees left context only (zero right
+            # context -> chunk-streamable); offline: centered SAME
+            padding=(
+                [(self.cfg.conv_kernel - 1, 0)] if self.cfg.causal else "SAME"
+            ),
             dtype=self.cfg.dtype,
         )(x)
         x = nn.LayerNorm(dtype=self.cfg.dtype)(x)
@@ -84,6 +96,13 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask):
         attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T) keys mask
+        if self.cfg.attention_left_context is not None:
+            # block-causal window: query q attends keys in [q - L, q]
+            T = x.shape[1]
+            q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            win = (kk <= q) & (kk >= q - self.cfg.attention_left_context)
+            attn_mask = attn_mask & win[None, None, :, :]
         x = x + 0.5 * FeedForward(self.cfg)(x)
         y = nn.LayerNorm(dtype=self.cfg.dtype)(x)
         y = nn.MultiHeadDotProductAttention(
@@ -108,11 +127,14 @@ class Encoder(nn.Module):
     def __call__(self, features, feature_lens):
         c = self.cfg
         x = features.astype(c.dtype)[:, :, :, None]  # (B, T, F, 1)
+        # causal: left-pad the time axis so each subsampled frame depends
+        # only on past input frames (out length stays ceil(L/2) per conv)
+        sub_pad = [(2, 0), (1, 1)] if c.causal else "SAME"
         x = nn.Conv(features=c.d_model // 4, kernel_size=(3, 3), strides=(2, 2),
-                    dtype=c.dtype)(x)
+                    padding=sub_pad, dtype=c.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(features=c.d_model // 4, kernel_size=(3, 3), strides=(2, 2),
-                    dtype=c.dtype)(x)
+                    padding=sub_pad, dtype=c.dtype)(x)
         x = nn.relu(x)
         B, T, F, C2 = x.shape
         x = nn.Dense(c.d_model, dtype=c.dtype)(x.reshape(B, T, F * C2))

@@ -1,0 +1,106 @@
+"""Chunked streaming inference: EXACT parity with offline decoding.
+
+With a causal encoder (causal subsampling + conv modules, attention
+limited to a left window), an output frame's receptive field is bounded;
+once the streaming buffer keeps at least that many frames of history,
+chunk-by-chunk decoding must reproduce offline greedy decoding EXACTLY —
+token for token — not approximately.  (No reference equivalent: the
+reference ships no inference; SURVEY.md §2.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_rnnt_tpu.models import (
+    StreamingConfig,
+    TransducerConfig,
+    greedy_search,
+    init_model,
+    streaming_init,
+    streaming_step,
+)
+
+
+def _causal_cfg(**kw):
+    base = dict(
+        vocab_size=12, feature_dim=6, d_model=16, d_joiner=16,
+        num_layers=2, num_heads=2, conv_kernel=7, dtype=jnp.float32,
+        causal=True, attention_left_context=4,
+    )
+    base.update(kw)
+    return TransducerConfig(**base)
+
+
+def test_streaming_matches_offline_exactly():
+    cfg = _causal_cfg()
+    model, params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 3, 152
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.feature_dim)).astype(np.float32))
+    # ragged stream lengths, one ending mid-chunk
+    flens = jnp.asarray(np.array([T, T - 20, T - 39], np.int32))
+
+    off_hyps, off_lens = jax.jit(
+        lambda f, l: greedy_search(model, params, f, l, max_len=64)
+    )(feats, flens)
+
+    # receptive field per conformer layer <= 4*(attn_left + conv_k - 1)
+    # input frames; left=128 covers 2 layers comfortably
+    scfg = StreamingConfig(chunk=16, left=128, max_len=64)
+    state = streaming_init(model, scfg, B)
+    step = jax.jit(
+        lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)
+    )
+    n_chunks = -(-T // scfg.chunk)
+    Tp = n_chunks * scfg.chunk
+    feats_pad = jnp.pad(feats, ((0, 0), (0, Tp - T), (0, 0)))
+    for i in range(n_chunks):
+        fc = feats_pad[:, i * scfg.chunk : (i + 1) * scfg.chunk]
+        cl = jnp.clip(flens - i * scfg.chunk, 0, scfg.chunk)
+        state, (hyps, lens) = step(state, fc, cl)
+
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
+    assert int(off_lens.max()) > 0, "degenerate test: nothing was emitted"
+
+
+def test_streaming_one_compile_many_chunks():
+    """All chunks run through ONE jitted step (static shapes; traced
+    scalars carry the buffer fill level)."""
+    cfg = _causal_cfg(num_layers=1)
+    model, params = init_model(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    B = 2
+    scfg = StreamingConfig(chunk=8, left=32, max_len=32)
+    state = streaming_init(model, scfg, B)
+
+    compiled = {"n": 0}
+
+    def stepper(st, fc, cl):
+        compiled["n"] += 1
+        return streaming_step(model, params, scfg, st, fc, cl)
+
+    step = jax.jit(stepper)
+    for _ in range(7):
+        fc = jnp.asarray(rng.normal(size=(B, 8, cfg.feature_dim)).astype(np.float32))
+        state, _ = step(state, fc, jnp.full((B,), 8, jnp.int32))
+    assert compiled["n"] == 1, f"retraced {compiled['n']} times"
+
+
+def test_streaming_requires_causal_encoder():
+    cfg = TransducerConfig(
+        vocab_size=8, feature_dim=4, d_model=8, d_joiner=8,
+        num_layers=1, num_heads=1, dtype=jnp.float32, causal=False,
+    )
+    model, _ = init_model(jax.random.PRNGKey(2), cfg)
+    with pytest.raises(ValueError, match="causal"):
+        streaming_init(model, StreamingConfig(chunk=8, left=32), 1)
+
+
+def test_streaming_config_validation():
+    with pytest.raises(ValueError, match="multiples of 4"):
+        StreamingConfig(chunk=10, left=40)
+    with pytest.raises(ValueError, match="multiple of chunk"):
+        StreamingConfig(chunk=16, left=40)
