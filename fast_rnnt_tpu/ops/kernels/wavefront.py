@@ -123,10 +123,10 @@ def _log_scan_row(coeff, bias):
         # compose earlier element e_{t-d} (shifted; identity (0, -inf) when
         # out of range) with the current one: (a1,b1)*(a2,b2) =
         # (a1+a2, logaddexp(b1+a2, b2))
-        a_prev = _shift_right(a, d, 0.0)
         b_prev = _shift_right(b, d, NEG_INF)
         b = logaddexp(b_prev + a, b)
-        a = a_prev + a
+        if 2 * d < w:  # the final round's coefficient update is dead
+            a = _shift_right(a, d, 0.0) + a
         d *= 2
     return b
 
@@ -139,10 +139,10 @@ def _rev_linear_scan_row(coeff, bias):
     while d < w:
         # compose with the later element e_{t+d} (identity (1, 0) off-edge):
         # (m1 o m2)(x) = a1*a2*x + a1*b2 + b1
-        a_next = _shift_left(a, d, 1.0)
         b_next = _shift_left(b, d, 0.0)
         b = a * b_next + b
-        a = a * a_next
+        if 2 * d < w:  # the final round's coefficient update is dead
+            a = a * _shift_left(a, d, 1.0)
         d *= 2
     return b
 
@@ -201,9 +201,13 @@ def _fwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
     # row 0 has no incoming px arcs, and the prev_p scratch is garbage there
     a = jnp.where(s > 0, a, neg)
 
-    # origin injection: p[s_begin, t_begin] = 0 (.cu:340-352)
-    src = jnp.where((bvec[:, 0:1] == s) & (t == bvec[:, 1:2]), 0.0, NEG_INF)
-    b = logaddexp(a, src.astype(a.dtype))
+    # origin injection: p[s_begin, t_begin] = 0 (.cu:340-352).  At the
+    # origin cell `a` is necessarily -inf (row s_begin has no incoming px
+    # arcs: row s_begin-1 is outside the boundary mask), so the logadd
+    # degenerates to a select — one op instead of a full-width logaddexp.
+    b = jnp.where(
+        (bvec[:, 0:1] == s) & (t == bvec[:, 1:2]), jnp.zeros_like(a), a
+    )
 
     coeff = _shift_right(py_eff, 1, NEG_INF)  # coeff[t] = py[s, t-1]
     p_row = _log_scan_row(coeff, b)
