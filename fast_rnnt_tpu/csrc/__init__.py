@@ -21,7 +21,7 @@ import numpy as np
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_SRC_DIR, "libfrt_cpu.so")
-_SOURCES = ["mutual_information_cpu.cc", "batching.cc"]
+_SOURCES = ["mutual_information_cpu.cc", "batching.cc", "features.cc"]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -75,6 +75,10 @@ def load_library() -> ctypes.CDLL:
     lib.frt_cummin.restype = None
     lib.frt_plan_batches.argtypes = [ip, ip, i32, i32, i32, i32, ip, ip, ip, ip]
     lib.frt_plan_batches.restype = i32
+    f32 = ctypes.c_float
+    lib.frt_fbank.argtypes = [fp, i32, i32, i32, i32, i32, i32, f32, f32, f32,
+                              fp, i32]
+    lib.frt_fbank.restype = i32
     _lib = lib
     return lib
 
@@ -154,3 +158,32 @@ def plan_batches_cpu(
         (order[starts[i] : starts[i + 1]].copy(), int(pad_t[i]), int(pad_s[i]))
         for i in range(nb)
     ]
+
+
+def fbank_cpu(
+    wav: np.ndarray,
+    sample_rate: int = 16000,
+    win_len: int = 400,
+    hop: int = 160,
+    n_fft: int = 512,
+    n_mels: int = 80,
+    low_hz: float = 20.0,
+    high_hz: float = 0.0,
+    preemph: float = 0.97,
+) -> np.ndarray:
+    """Native log-mel filterbank features (csrc/features.cc).
+
+    Args: wav (n,) float32 in [-1, 1]; defaults = 25 ms window / 10 ms hop
+    at 16 kHz with 80 mel bands (the usual ASR fbank config).
+    Returns (n_frames, n_mels) float32.
+    """
+    lib = load_library()
+    wav = np.ascontiguousarray(wav, np.float32)
+    max_frames = max((len(wav) - win_len) // hop + 1, 0)
+    out = np.empty((max(max_frames, 1), n_mels), np.float32)
+    n = lib.frt_fbank(
+        wav, len(wav), sample_rate, win_len, hop, n_fft, n_mels,
+        np.float32(low_hz), np.float32(high_hz), np.float32(preemph),
+        out, max_frames,
+    )
+    return out[:n]

@@ -112,3 +112,36 @@ class RaggedBatcher:
                 )
                 slens = np.concatenate([slens, np.zeros((extra,), np.int32)])
             yield feats, flens, syms, slens
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator on a background thread with a bounded queue.
+
+    The standard host/device overlap for a TPU input pipeline: while the
+    device executes step N, the host collates (and feature-extracts, see
+    ``fast_rnnt_tpu.csrc.fbank_cpu``) batch N+1.  ``depth`` bounds host
+    memory; exceptions from the producer re-raise at the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

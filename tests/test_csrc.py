@@ -90,3 +90,21 @@ def test_ragged_batcher_end_to_end():
         assert np.all(b_slens[real] <= b_syms.shape[1])
     assert total == n
     assert len(shapes) <= 6  # quantized shape set stays small
+
+
+def test_prefetch_iterator():
+    """Background prefetch preserves order and propagates exceptions."""
+    from fast_rnnt_tpu.data import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="producer failed"):
+        next(it)
