@@ -214,3 +214,32 @@ def test_fused_pipeline_under_shard_map():
     np.testing.assert_allclose(
         np.asarray(g[1]), np.asarray(g_ref[1]), rtol=1e-3, atol=1e-4
     )
+
+
+def test_fused_pipeline_bf16_lattice_under_shard_map():
+    """The production mode (bf16 lattice storage) must shard like fp32:
+    data-parallel value == single-device value."""
+    import fast_rnnt_tpu as frt
+    from fast_rnnt_tpu.parallel import data_parallel, make_mesh, shard_batch
+
+    rng = np.random.default_rng(123)
+    B, T, S, C = 8, 12, 5, 16
+    am = rng.normal(size=(B, T, C)).astype(np.float32)
+    lm = rng.normal(size=(B, S + 1, C)).astype(np.float32)
+    symbols = rng.integers(1, C, size=(B, S)).astype(np.int32)
+    boundary = np.tile(np.array([0, 0, S, T], np.int32), (B, 1))
+
+    def loss(lm, am, symbols, boundary):
+        s, p, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="none",
+            lattice_dtype=jnp.bfloat16,
+        )
+        return s + p
+
+    single = np.asarray(loss(*map(jnp.asarray, (lm, am, symbols, boundary))))
+
+    mesh = make_mesh()
+    fn = data_parallel(loss, mesh)
+    batch = shard_batch((lm, am, symbols, boundary), mesh)
+    sharded = np.asarray(fn(*batch))
+    np.testing.assert_allclose(sharded, single, rtol=2e-2, atol=2e-2)

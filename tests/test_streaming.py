@@ -104,3 +104,33 @@ def test_streaming_config_validation():
         StreamingConfig(chunk=10, left=40)
     with pytest.raises(ValueError, match="multiple of chunk"):
         StreamingConfig(chunk=16, left=40)
+
+
+@pytest.mark.parametrize("chunk,left", [(8, 96), (32, 96), (4, 100)])
+def test_streaming_parity_config_sweep(chunk, left):
+    """Parity must hold across chunk/history geometries (as long as the
+    history covers the receptive field)."""
+    cfg = _causal_cfg(num_layers=1, attention_left_context=3)
+    model, params = init_model(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(chunk)
+    B, T = 2, 96
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.feature_dim)).astype(np.float32))
+    flens = jnp.asarray(np.array([T, T - 11], np.int32))
+
+    off_hyps, off_lens = greedy_search(model, params, feats, flens, max_len=48)
+
+    scfg = StreamingConfig(chunk=chunk, left=left, max_len=48)
+    state = streaming_init(model, scfg, B)
+    step = jax.jit(
+        lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)
+    )
+    n_chunks = -(-T // scfg.chunk)
+    Tp = n_chunks * scfg.chunk
+    feats_pad = jnp.pad(feats, ((0, 0), (0, Tp - T), (0, 0)))
+    hyps = lens = None
+    for i in range(n_chunks):
+        fc = feats_pad[:, i * scfg.chunk : (i + 1) * scfg.chunk]
+        cl = jnp.clip(flens - i * scfg.chunk, 0, scfg.chunk)
+        state, (hyps, lens) = step(state, fc, cl)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
