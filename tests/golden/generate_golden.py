@@ -152,6 +152,28 @@ def enumerate_paths(px, py, boundary, rnnt_type):
     return scores, px_grad, py_grad
 
 
+def enumerate_paths_banded(px, py, boundary, lo, K):
+    """Path enumeration restricted to the pruning band: every arc at
+    column t must satisfy lo[t] <= s < lo[t] + K (the band_mask_rows /
+    in-kernel band semantics — px uses an edge-extended lo for its t = T
+    column).  Regular topology only."""
+    pxb = px.copy()
+    pyb = py.copy()
+    B, S_rows, T1 = px.shape
+    T = py.shape[2]
+    lo_ext = np.concatenate([lo, lo[:, -1:]], axis=1)  # edge pad to T+1
+    for b in range(B):
+        for s in range(S_rows):
+            for t in range(T1):
+                if not (lo_ext[b, t] <= s < lo_ext[b, t] + K):
+                    pxb[b, s, t] = NEG_INF
+        for s in range(S_rows + 1):
+            for t in range(T):
+                if not (lo[b, t] <= s < lo[b, t] + K):
+                    pyb[b, s, t] = NEG_INF
+    return enumerate_paths(pxb, pyb, boundary, "regular")
+
+
 def main():
     rng = np.random.default_rng(20260817)
     B, T, S, C = 2, 10, 5, 20
@@ -176,6 +198,22 @@ def main():
                 px_grad=gx, py_grad=gy,
             )
             print(f"{out}: scores={scores}")
+
+    # band-restricted case: the pruning-band semantics from first
+    # principles (a valid monotone lo with steps < K)
+    boundary = boundaries["ragged"]
+    px, py = build_lattice_f64(lm, am, symbols, blank, "regular", boundary)
+    K = 3
+    lo = np.zeros((B, T), np.int32)
+    steps = rng.integers(0, K, size=(B, T))
+    steps[:, 0] = 0
+    lo = np.minimum(np.cumsum(steps, axis=1), S - K + 1).astype(np.int32)
+    scores, gx, gy = enumerate_paths_banded(px, py, boundary, lo, K)
+    out = os.path.join(HERE, "config1_banded_K3.npz")
+    np.savez(out, lm=lm, am=am, symbols=symbols, boundary=boundary,
+             blank=np.int32(blank), px=px, py=py, lo=lo, K=np.int32(K),
+             scores=scores, px_grad=gx, py_grad=gy)
+    print(f"{out}: scores={scores}")
 
 
 if __name__ == "__main__":
