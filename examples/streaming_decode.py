@@ -58,8 +58,8 @@ def main():
         lambda f, l: greedy_search(model, params, f, l, max_len=16)
     )(feats, flens)
 
-    # streaming decode: 16-frame chunks, 48 frames of history
-    scfg = StreamingConfig(chunk=16, left=48, max_len=16)
+    # streaming decode: 16-frame chunks, 64 frames of history
+    scfg = StreamingConfig(chunk=16, left=64, max_len=16)
     state = streaming_init(model, scfg, B)
     sstep = jax.jit(
         lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)

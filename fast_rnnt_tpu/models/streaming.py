@@ -71,6 +71,23 @@ def streaming_init(
             "streaming needs a causal encoder: build the model with "
             "TransducerConfig(causal=True, attention_left_context=...)"
         )
+    if cfg.attention_left_context is not None:
+        # receptive field of the causal stack, in input frames: each layer
+        # reaches attention_left_context + (conv_kernel - 1) encoder frames
+        # back (4 input frames each), plus the subsampling convs
+        rf = 4 * cfg.num_layers * (
+            cfg.attention_left_context + cfg.conv_kernel - 1
+        ) + 8
+        if scfg.left < rf:
+            import warnings
+
+            warnings.warn(
+                f"StreamingConfig.left={scfg.left} is smaller than the "
+                f"encoder's receptive field (~{rf} input frames): streamed "
+                "outputs will deviate from offline decoding once the "
+                "buffer slides",
+                RuntimeWarning,
+            )
     k = max(cfg.predictor_context, 1)
     B = batch_size
     return {

@@ -134,3 +134,10 @@ def test_streaming_parity_config_sweep(chunk, left):
         state, (hyps, lens) = step(state, fc, cl)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
     np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
+
+
+def test_streaming_warns_on_short_history():
+    cfg = _causal_cfg(num_layers=2, attention_left_context=16, conv_kernel=15)
+    model, _ = init_model(jax.random.PRNGKey(4), cfg)
+    with pytest.warns(RuntimeWarning, match="receptive field"):
+        streaming_init(model, StreamingConfig(chunk=8, left=16), 1)
