@@ -165,39 +165,38 @@ def greedy_search(
     return hyps, lens
 
 
-def modified_beam_search(
+def beam_over_frames(
     model: PrunedTransducer,
     params: Any,
-    features: jax.Array,
-    feature_lens: jax.Array,
-    beam: int = 4,
-    max_len: int = 256,
-) -> Tuple[jax.Array, jax.Array]:
-    """Batched modified beam search (at most ONE emission per frame — the
-    constraint k2/icefall's ``modified_beam_search`` uses, which matches the
-    "modified" rnnt_type and keeps every shape static on TPU).
+    am: jax.Array,
+    frame_active: jax.Array,
+    scores: jax.Array,
+    ctx: jax.Array,
+    hyps: jax.Array,
+    lens: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Beam-search a block of encoder frames, resuming from carried beam
+    state (the beam analog of :func:`greedy_over_frames`; shared by
+    offline :func:`modified_beam_search` and the streaming decoder).
 
-    Per frame each of the H live hypotheses expands over the full vocab
-    (blank = stay, symbol = append); the top-H of the H*C candidates
-    survive.  All bookkeeping is top_k + gather-free one-hot contractions over an
-    H axis of ~4-8, so the whole search jits to a single XLA program.
+    Args:
+      am: (B, T_blk, d_joiner) encoder rows for this block.
+      frame_active: (B, T_blk) bool.
+      scores/ctx/hyps/lens: (B,H), (B,H,k), (B,H,L), (B,H) beam state.
 
-    Returns (hyps, hyp_lens) for the best hypothesis per utterance:
-    int32 (B, max_len) padded with blank, and (B,) lengths.
+    Returns the updated (scores, ctx, hyps, lens).
     """
     cfg: TransducerConfig = model.cfg
     blank = cfg.blank_id
-    k = max(cfg.predictor_context, 1)
-    H = beam
-
-    am, out_lens = _encode(model, params, features, feature_lens)
-    B, T, _ = am.shape
+    k = ctx.shape[2]
+    B, H = scores.shape
     C = cfg.vocab_size
+    max_len = hyps.shape[2]
 
-    def frame_step(carry, t):
+    def frame_step(carry, inputs):
+        am_t, act = inputs  # (B, d), (B,)
         scores, ctx, hyps, lens = carry  # (B,H), (B,H,k), (B,H,L), (B,H)
-        am_t = jax.lax.dynamic_slice_in_dim(am, t, 1, axis=1)[:, 0, :]  # (B,d)
-        active = (t < out_lens)[:, None]  # (B,1)
+        active = act[:, None]  # (B,1)
 
         lm_rows = _predictor_last(
             model, params, ctx.reshape(B * H, k)
@@ -270,16 +269,64 @@ def modified_beam_search(
         top_scores = jnp.where(is_dup, -jnp.inf, merged)
         return (top_scores, new_ctx, new_hyps, new_lens), None
 
-    # beam slot 0 starts live, the rest at -inf so the first frame fans out
-    scores0 = jnp.full((B, H), -jnp.inf).at[:, 0].set(0.0)
-    ctx0 = jnp.full((B, H, k), blank, jnp.int32)
-    hyps0 = jnp.full((B, H, max_len), blank, jnp.int32)
-    lens0 = jnp.zeros((B, H), jnp.int32)
     (scores, ctx, hyps, lens), _ = jax.lax.scan(
-        frame_step, (scores0, ctx0, hyps0, lens0), jnp.arange(T)
+        frame_step,
+        (scores, ctx, hyps, lens),
+        (jnp.moveaxis(am, 0, 1), jnp.moveaxis(frame_active, 0, 1)),
     )
+    return scores, ctx, hyps, lens
+
+
+def beam_init_state(cfg: TransducerConfig, B: int, beam: int, max_len: int):
+    """Fresh beam state: slot 0 live at score 0, the rest at -inf so the
+    first frame fans out."""
+    k = max(cfg.predictor_context, 1)
+    return (
+        jnp.full((B, beam), -jnp.inf).at[:, 0].set(0.0),
+        jnp.full((B, beam, k), cfg.blank_id, jnp.int32),
+        jnp.full((B, beam, max_len), cfg.blank_id, jnp.int32),
+        jnp.zeros((B, beam), jnp.int32),
+    )
+
+
+def beam_best(scores, hyps, lens) -> Tuple[jax.Array, jax.Array]:
+    """Select each utterance's best hypothesis (gather-free over H)."""
+    H = scores.shape[1]
     best = jnp.argmax(scores, axis=1)  # (B,)
     bsel = (best[:, None] == jnp.arange(H)[None, :]).astype(jnp.int32)
     best_hyps = jnp.einsum("bh,bhl->bl", bsel, hyps).astype(jnp.int32)
     best_lens = jnp.einsum("bh,bh->b", bsel, lens).astype(jnp.int32)
     return best_hyps, best_lens
+
+
+def modified_beam_search(
+    model: PrunedTransducer,
+    params: Any,
+    features: jax.Array,
+    feature_lens: jax.Array,
+    beam: int = 4,
+    max_len: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched modified beam search (at most ONE emission per frame — the
+    constraint k2/icefall's ``modified_beam_search`` uses, which matches the
+    "modified" rnnt_type and keeps every shape static on TPU).
+
+    Per frame each of the H live hypotheses expands over the full vocab
+    (blank = stay, symbol = append); the top-H of the H*C candidates
+    survive.  All bookkeeping is top_k + gather-free one-hot contractions
+    over an H axis of ~4-8, so the whole search jits to a single XLA
+    program.
+
+    Returns (hyps, hyp_lens) for the best hypothesis per utterance:
+    int32 (B, max_len) padded with blank, and (B,) lengths.
+    """
+    am, out_lens = _encode(model, params, features, feature_lens)
+    B, T, _ = am.shape
+    frame_active = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, T), 1) < out_lens[:, None]
+    )
+    state = beam_init_state(model.cfg, B, beam, max_len)
+    scores, ctx, hyps, lens = beam_over_frames(
+        model, params, am, frame_active, *state
+    )
+    return beam_best(scores, hyps, lens)

@@ -11,9 +11,10 @@ full utterances.  This module streams:
   * The decoder keeps a rolling buffer of the last ``left + chunk`` input
     frames.  Each :func:`streaming_step` appends a chunk, re-encodes the
     buffer (one fixed-shape jit — XLA compiles it once), extracts the
-    NEW frames' encoder rows, and advances the shared greedy frame loop
-    (:func:`decoding.greedy_over_frames`) with the carried predictor
-    context / hypothesis state.
+    NEW frames' encoder rows, and advances the shared frame loop with
+    the carried decode state — greedy (:func:`decoding.greedy_over_frames`)
+    or modified beam search (``StreamingConfig(beam=H)``,
+    :func:`decoding.beam_over_frames`).
 
 Exactness: with a causal encoder, an output frame depends only on input
 frames at most R behind it (R = receptive field: num_layers *
@@ -33,7 +34,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-from .decoding import greedy_over_frames
+from .decoding import beam_best, beam_init_state, beam_over_frames, greedy_over_frames
 from .transducer import PrunedTransducer, TransducerConfig
 
 __all__ = ["StreamingConfig", "streaming_init", "streaming_step"]
@@ -49,6 +50,7 @@ class StreamingConfig:
     left: int = 128
     max_symbols_per_frame: int = 4
     max_len: int = 256
+    beam: int = 0  # 0 = greedy; >= 2 = streamed modified beam search
 
     def __post_init__(self):
         if self.chunk % 4 or self.left % 4:
@@ -90,15 +92,24 @@ def streaming_init(
             )
     k = max(cfg.predictor_context, 1)
     B = batch_size
-    return {
+    state = {
         "buf": jnp.zeros((B, scfg.window, cfg.feature_dim), jnp.float32),
         "filled": jnp.zeros((), jnp.int32),  # frames currently in buf
         "stream_len": jnp.zeros((B,), jnp.int32),  # real frames seen
         "decoded_t": jnp.zeros((), jnp.int32),  # encoder frames decoded
-        "ctx": jnp.full((B, k), cfg.blank_id, jnp.int32),
-        "hyps": jnp.full((B, scfg.max_len), cfg.blank_id, jnp.int32),
-        "lens": jnp.zeros((B,), jnp.int32),
     }
+    if scfg.beam:
+        scores, ctx, hyps, lens = beam_init_state(
+            cfg, B, scfg.beam, scfg.max_len
+        )
+        state.update(scores=scores, ctx=ctx, hyps=hyps, lens=lens)
+    else:
+        state.update(
+            ctx=jnp.full((B, k), cfg.blank_id, jnp.int32),
+            hyps=jnp.full((B, scfg.max_len), cfg.blank_id, jnp.int32),
+            lens=jnp.zeros((B,), jnp.int32),
+        )
+    return state
 
 
 def streaming_step(
@@ -161,18 +172,23 @@ def streaming_step(
         t0 + jax.lax.broadcasted_iota(jnp.int32, (B, n_new), 1)
     ) < total_sub[:, None]
 
-    ctx, hyps, lens = greedy_over_frames(
-        model, params, am_new, frame_active,
-        state["ctx"], state["hyps"], state["lens"],
-        max_symbols_per_frame=scfg.max_symbols_per_frame,
-    )
     new_state = {
         "buf": buf,
         "filled": new_filled,
         "stream_len": stream_len,
         "decoded_t": t0 + n_new,
-        "ctx": ctx,
-        "hyps": hyps,
-        "lens": lens,
     }
+    if scfg.beam:
+        scores, ctx, hyps, lens = beam_over_frames(
+            model, params, am_new, frame_active,
+            state["scores"], state["ctx"], state["hyps"], state["lens"],
+        )
+        new_state.update(scores=scores, ctx=ctx, hyps=hyps, lens=lens)
+        return new_state, beam_best(scores, hyps, lens)
+    ctx, hyps, lens = greedy_over_frames(
+        model, params, am_new, frame_active,
+        state["ctx"], state["hyps"], state["lens"],
+        max_symbols_per_frame=scfg.max_symbols_per_frame,
+    )
+    new_state.update(ctx=ctx, hyps=hyps, lens=lens)
     return new_state, (hyps, lens)

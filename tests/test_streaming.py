@@ -141,3 +141,34 @@ def test_streaming_warns_on_short_history():
     model, _ = init_model(jax.random.PRNGKey(4), cfg)
     with pytest.warns(RuntimeWarning, match="receptive field"):
         streaming_init(model, StreamingConfig(chunk=8, left=16), 1)
+
+
+def test_streaming_beam_matches_offline_beam():
+    """StreamingConfig(beam=H): the streamed modified beam search must
+    reproduce offline modified_beam_search exactly (the beam state —
+    scores, contexts, hypotheses — is carried across chunk boundaries)."""
+    from fast_rnnt_tpu.models import modified_beam_search
+
+    cfg = _causal_cfg()
+    model, params = init_model(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    B, T = 2, 128
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.feature_dim)).astype(np.float32))
+    flens = jnp.asarray(np.array([T, T - 17], np.int32))
+
+    off_hyps, off_lens = jax.jit(
+        lambda f, l: modified_beam_search(model, params, f, l, beam=4, max_len=48)
+    )(feats, flens)
+
+    scfg = StreamingConfig(chunk=16, left=96, max_len=48, beam=4)
+    state = streaming_init(model, scfg, B)
+    step = jax.jit(
+        lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)
+    )
+    hyps = lens = None
+    for i in range(T // scfg.chunk):
+        fc = feats[:, i * scfg.chunk : (i + 1) * scfg.chunk]
+        cl = jnp.clip(flens - i * scfg.chunk, 0, scfg.chunk)
+        state, (hyps, lens) = step(state, fc, cl)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
