@@ -73,7 +73,7 @@ def test_streaming_one_compile_many_chunks():
     model, params = init_model(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(1)
     B = 2
-    scfg = StreamingConfig(chunk=8, left=32, max_len=32)
+    scfg = StreamingConfig(chunk=8, left=48, max_len=32)
     state = streaming_init(model, scfg, B)
 
     compiled = {"n": 0}
