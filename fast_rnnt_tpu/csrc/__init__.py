@@ -177,6 +177,12 @@ def fbank_cpu(
     at 16 kHz with 80 mel bands (the usual ASR fbank config).
     Returns (n_frames, n_mels) float32.
     """
+    # the C++ FFT is radix-2 (features.cc): a non-power-of-two n_fft would
+    # silently produce garbage from the bit-reversal/butterfly loops
+    if n_fft <= 0 or (n_fft & (n_fft - 1)) != 0:
+        raise ValueError(f"n_fft must be a power of two, got {n_fft}")
+    if n_fft < win_len:
+        raise ValueError(f"n_fft={n_fft} must be >= win_len={win_len}")
     lib = load_library()
     wav = np.ascontiguousarray(wav, np.float32)
     max_frames = max((len(wav) - win_len) // hop + 1, 0)

@@ -73,7 +73,22 @@ def streaming_init(
             "streaming needs a causal encoder: build the model with "
             "TransducerConfig(causal=True, attention_left_context=...)"
         )
-    if cfg.attention_left_context is not None:
+    if cfg.attention_left_context is None:
+        # causal=True without a left-context window = pure causal attention
+        # (unbounded left receptive field): exact only while the rolling
+        # buffer still holds the whole utterance prefix; once it slides,
+        # streamed outputs deviate from offline decoding no matter how
+        # large ``left`` is
+        import warnings
+
+        warnings.warn(
+            "attention_left_context is None (unbounded causal attention): "
+            "streaming is only exact while the utterance fits in the "
+            "rolling buffer; set attention_left_context to bound the "
+            "receptive field for exact sliding-window streaming",
+            RuntimeWarning,
+        )
+    else:
         # receptive field of the causal stack, in input frames: each layer
         # reaches attention_left_context + (conv_kernel - 1) encoder frames
         # back (4 input frames each), plus the subsampling convs

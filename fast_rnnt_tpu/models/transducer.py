@@ -96,12 +96,18 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask):
         attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T) keys mask
-        if self.cfg.attention_left_context is not None:
-            # block-causal window: query q attends keys in [q - L, q]
+        if self.cfg.attention_left_context is not None or self.cfg.causal:
+            # causal window: query q attends keys in [q - L, q]; with
+            # attention_left_context=None but causal=True, a pure kk <= q
+            # mask — causal ALWAYS means zero right context (a causal
+            # encoder silently attending to the future would break the
+            # streaming-parity guarantee in models/streaming.py)
             T = x.shape[1]
             q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
             kk = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-            win = (kk <= q) & (kk >= q - self.cfg.attention_left_context)
+            win = kk <= q
+            if self.cfg.attention_left_context is not None:
+                win &= kk >= q - self.cfg.attention_left_context
             attn_mask = attn_mask & win[None, None, :, :]
         x = x + 0.5 * FeedForward(self.cfg)(x)
         y = nn.LayerNorm(dtype=self.cfg.dtype)(x)

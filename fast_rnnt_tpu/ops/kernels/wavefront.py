@@ -266,7 +266,6 @@ def forward_rows_pallas(
     bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
     nb = _cdiv(B, bblk)
     grid = (nb, S + 1)
-    dt = px_rows.dtype
 
     bvec = boundary.astype(jnp.int32)  # (B, 4)
     row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
@@ -302,9 +301,15 @@ def forward_rows_pallas(
             score_spec,
         ],
         out_shape=[
-            # p inherits the storage dtype (bf16 lattice mode stores a
-            # rounded p; the in-kernel row carry stays f32)
-            _out_struct((S + 1, B, W), dt, px_rows, py_rows, boundary),
+            # p is ALWAYS stored f32, even in the bf16 lattice mode: the
+            # backward's terms are exp() of differences of NEIGHBORING p
+            # values, and |p| grows like O(T) (≈ -4000 at T=1000), where
+            # bf16's quantization step is 16 — rounded-p differences (and
+            # with them every occupancy gradient) would be garbage at
+            # production scale.  Found by the on-chip parity gate; costs
+            # ~6 MB / ~8 µs at the benchmark shape.  The XLA core keeps
+            # its p residual f32 the same way (_forward_rows_xla).
+            _out_struct((S + 1, B, W), jnp.float32, px_rows, py_rows, boundary),
             _out_struct((B, 1), jnp.float32, px_rows, py_rows, boundary),
         ],
         scratch_shapes=[pltpu.VMEM((bblk, W), jnp.float32)],

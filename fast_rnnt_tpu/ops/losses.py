@@ -204,8 +204,9 @@ def rnnt_loss_chunked(
     delay_penalty: float = 0.0,
     reduction: Optional[str] = "mean",
     chunk: int = 64,
+    calc_gradients: bool = False,
     impl: Optional[str] = None,
-) -> jax.Array:
+) -> LossOrLossAndGrads:
     """UNPRUNED full-joiner RNN-T loss WITHOUT materializing the joiner
     output.
 
@@ -226,6 +227,14 @@ def rnnt_loss_chunked(
       am: [B, T, Da] encoder output (pre-joiner).
       lm: [B, S+1, Dl] predictor output (pre-joiner).
       chunk: frames per joiner invocation (static).
+      calc_gradients: if True also return the occupancy probabilities
+        ``(px_grad, py_grad)`` — the assembled px/py are only [B, S, T'],
+        so the fused occupancy backward runs on them directly and the
+        result feeds :func:`get_rnnt_prune_ranges`: a REAL-joiner pipeline
+        can do chunked stage 1 -> ranges -> :func:`rnnt_loss_pruned`
+        stage 2 without ever materializing [B, T, S+1, C] (composes the
+        reference's rnnt_loss.py:454-551 with :647-761 minus the :420
+        logsumexp memory hog).
 
     Other args and the result exactly match :func:`rnnt_loss`.
     """
@@ -279,10 +288,14 @@ def rnnt_loss_chunked(
         px = px + py[:, 1:, :]
 
     px = _apply_delay_penalty(px, boundary, rnnt_type, delay_penalty)
-    negated_loss = mutual_information_recursion(
-        px=px, py=py, boundary=boundary, calc_gradients=False, impl=impl
+    out = mutual_information_recursion(
+        px=px, py=py, boundary=boundary, calc_gradients=calc_gradients,
+        impl=impl,
     )
-    return _reduce(negated_loss, reduction)
+    if calc_gradients:
+        negated_loss, grads = out
+        return _reduce(negated_loss, reduction), grads
+    return _reduce(out, reduction)
 
 
 def rnnt_loss_pruned(

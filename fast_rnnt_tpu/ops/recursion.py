@@ -652,6 +652,9 @@ def mutual_information_rows(
     if lo is not None and int(s_range) <= 0:
         raise ValueError("banded recursion needs a positive static s_range")
     K = int(s_range)
+    # Same dtype policy as mutual_information_recursion: f64 auto-routes to
+    # the XLA core; explicit pallas+f64 raises (never a silent downcast).
+    impl = _resolve_impl_for_dtype(impl, px_rows.dtype)
     if calc_gradients:
         scores, gx, gy = _mi_rows_with_grads(
             px_rows, py_rows, boundary, lo, K, impl
@@ -787,8 +790,12 @@ def mutual_information_recursion(
             err = occupancy_roundtrip_check(
                 px_grad, py_grad, boundary, jnp.ones_like(scores)
             )
-            # fp32 occupancies on long lattices accumulate ~1e-3 round-off
-            tol = 1e-2 if px.dtype == jnp.float32 else 1e-8
+            # Tolerance keyed on storage precision: f64+ is tight; fp32
+            # occupancies on long lattices accumulate ~1e-3 round-off;
+            # bf16/f16 STORAGE (f32 in-register) sees ~1e-3..1e-2 from the
+            # narrow round-trips, so gets the loosest bound.
+            bits = jnp.finfo(px.dtype).bits
+            tol = 1e-8 if bits > 32 else (1e-2 if bits == 32 else 1e-1)
             if isinstance(err, jax.core.Tracer):
                 # under jit: raise from a host callback (backends without
                 # host-callback support, e.g. remote tunnels, should call

@@ -108,3 +108,50 @@ def test_prefetch_iterator():
 
     with _pytest.raises(ValueError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_abandoned_consumer_releases_producer():
+    """Breaking out of a prefetch loop early must not leak the producer
+    thread blocked on a full queue (ADVICE r2: data/loader.py)."""
+    import threading
+    import time
+
+    from fast_rnnt_tpu.data import prefetch
+
+    produced = []
+
+    def src():
+        for i in range(100_000):
+            produced.append(i)
+            yield i
+
+    before = set(threading.enumerate())
+    it = prefetch(src(), depth=2)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> stop event + queue drain
+
+    deadline = time.time() + 5.0
+    extra = True
+    while time.time() < deadline:
+        extra = [
+            t for t in threading.enumerate() if t not in before and t.is_alive()
+        ]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"producer thread leaked: {extra}"
+    n = len(produced)
+    time.sleep(0.2)
+    assert len(produced) == n  # producer stopped consuming the source
+
+
+def test_fbank_rejects_invalid_n_fft():
+    """Radix-2 FFT precondition is validated instead of producing garbage
+    (ADVICE r2: csrc/__init__.py)."""
+    from fast_rnnt_tpu.csrc import fbank_cpu
+
+    wav = np.zeros(1600, np.float32)
+    with pytest.raises(ValueError, match="power of two"):
+        fbank_cpu(wav, n_fft=400)
+    with pytest.raises(ValueError, match="win_len"):
+        fbank_cpu(wav, win_len=400, n_fft=256)

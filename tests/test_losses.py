@@ -584,3 +584,96 @@ def test_bf16_lattice_mode():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=0.06
         )
+
+
+def test_rnnt_loss_chunked_calc_gradients_parity():
+    """Chunked-path occupancies must equal the materialized path's — the
+    chunked stage 1 feeds get_rnnt_prune_ranges for real joiners
+    (VERDICT r2 item 4)."""
+    from fast_rnnt_tpu import rnnt_loss_chunked
+
+    rng = np.random.default_rng(41)
+    B, T, S, C, D = 2, 13, 5, 12, 8
+    am = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(D, C)).astype(np.float32) * 0.5)
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    boundary = jnp.asarray(
+        np.stack(
+            [np.zeros(B, np.int32), np.zeros(B, np.int32),
+             np.array([S, S - 2], np.int32), np.array([T, T - 4], np.int32)],
+            axis=1,
+        )
+    )
+
+    def joiner(am_c, lm_full):
+        return jnp.tanh(am_c[:, :, None, :] + lm_full[:, None, :, :]) @ w
+
+    l_mat, (gx_m, gy_m) = rnnt_loss(
+        joiner(am, lm), symbols, 0, boundary, reduction="none",
+        calc_gradients=True,
+    )
+    l_chk, (gx_c, gy_c) = rnnt_loss_chunked(
+        joiner, am, lm, symbols, 0, boundary, reduction="none",
+        chunk=4, calc_gradients=True,
+    )
+    np.testing.assert_allclose(np.asarray(l_mat), np.asarray(l_chk), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_c),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy_m), np.asarray(gy_c),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_chunked_two_stage_pipeline():
+    """End-to-end REAL-joiner two-stage training recipe with a chunked
+    stage 1: chunked loss + occupancies -> get_rnnt_prune_ranges ->
+    do_rnnt_pruning -> rnnt_loss_pruned.  Must equal the fully
+    materialized pipeline (ranges AND pruned loss AND its gradients)
+    without ever building [B, T, S+1, C] in stage 1."""
+    from fast_rnnt_tpu import rnnt_loss_chunked
+
+    rng = np.random.default_rng(42)
+    B, T, S, C, D = 2, 24, 8, 16, 8
+    s_range = 3
+    am = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(D, C)).astype(np.float32) * 0.5)
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    boundary = jnp.asarray(
+        np.stack(
+            [np.zeros(B, np.int32), np.zeros(B, np.int32),
+             np.array([S, S - 3], np.int32), np.array([T, T - 7], np.int32)],
+            axis=1,
+        )
+    )
+
+    def joiner(am_c, lm_full):
+        return jnp.tanh(am_c[:, :, None, :] + lm_full[:, None, :, :]) @ w
+
+    def stage2(am, lm, ranges):
+        # the pruned stage materializes only [B, T, s_range, C]
+        am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+        logits_p = jnp.tanh(am_p + lm_p) @ w
+        return rnnt_loss_pruned(
+            logits_p, symbols, ranges, 0, boundary, reduction="sum"
+        )
+
+    # materialized reference pipeline
+    _, (gx_m, gy_m) = rnnt_loss(
+        joiner(am, lm), symbols, 0, boundary, reduction="none",
+        calc_gradients=True,
+    )
+    ranges_m = get_rnnt_prune_ranges(gx_m, gy_m, boundary, s_range)
+    lp_m, gp_m = jax.value_and_grad(lambda a: stage2(a, lm, ranges_m))(am)
+
+    # chunked stage-1 pipeline
+    _, (gx_c, gy_c) = rnnt_loss_chunked(
+        joiner, am, lm, symbols, 0, boundary, reduction="none",
+        chunk=8, calc_gradients=True,
+    )
+    ranges_c = get_rnnt_prune_ranges(gx_c, gy_c, boundary, s_range)
+    np.testing.assert_array_equal(np.asarray(ranges_m), np.asarray(ranges_c))
+    lp_c, gp_c = jax.value_and_grad(lambda a: stage2(a, lm, ranges_c))(am)
+    np.testing.assert_allclose(float(lp_m), float(lp_c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_m), np.asarray(gp_c), rtol=1e-5,
+                               atol=1e-7)

@@ -227,3 +227,55 @@ def test_pallas_banded_with_occupancies():
     assert np.all(np.isfinite(np.asarray(scores)))
     occ = np.asarray(gx.sum((0, 2)) + gy.sum((0, 2)))
     np.testing.assert_allclose(occ, S + T, rtol=1e-3)
+
+
+def test_bf16_storage_occupancies_at_scale():
+    """Regression for the round-3 on-chip finding: the p residual must be
+    stored f32 even in the bf16 lattice mode.  |p| grows like O(T), and
+    the backward exponentiates DIFFERENCES of neighboring p values — a
+    bf16-stored p (quantization step 4 at |p|≈700) destroys every
+    occupancy gradient at scale while the f32 score carry keeps losses
+    looking healthy.  T here is large enough that bf16-p occupancies are
+    ~50%+ wrong, so this fails loudly on any regression."""
+    from fast_rnnt_tpu.ops.kernels.wavefront import (
+        backward_rows_pallas,
+        forward_rows_pallas,
+    )
+
+    rng = np.random.default_rng(123)
+    B, S, T = 2, 6, 192
+    px = (rng.normal(size=(B, S, T + 1)) - 3.0).astype(np.float32)
+    py = (rng.normal(size=(B, S + 1, T)) - 3.0).astype(np.float32)
+    boundary = np.array([[0, 0, S, T], [0, 0, S - 1, T - 30]], np.int32)
+
+    px_rows = jnp.moveaxis(jnp.asarray(px), 1, 0).astype(jnp.bfloat16)
+    py_rows = jnp.moveaxis(jnp.asarray(py), 1, 0).astype(jnp.bfloat16)
+    b = jnp.asarray(boundary)
+
+    p_rows, scores = forward_rows_pallas(px_rows, py_rows, b, interpret=True)
+    assert p_rows.dtype == jnp.float32, "p residual must stay f32"
+    gx, gy = backward_rows_pallas(
+        px_rows, py_rows, p_rows, b, jnp.ones((B,)), interpret=True
+    )
+
+    # conservation: total occupancy == s_end - s_begin + t_end - t_begin
+    tot = np.asarray(
+        gx.astype(jnp.float32).sum((0, 2)) + gy.astype(jnp.float32).sum((0, 2))
+    )
+    expect = (boundary[:, 2] - boundary[:, 0] + boundary[:, 3] - boundary[:, 1])
+    np.testing.assert_allclose(tot, expect, rtol=2e-2)
+
+    # parity with the XLA core on the same bf16-rounded inputs
+    from fast_rnnt_tpu.ops.recursion import _backward_rows_xla, _forward_rows_xla
+
+    p_x, s_x = _forward_rows_xla(px_rows, py_rows, b)
+    gx_x, gy_x = _backward_rows_xla(px_rows, py_rows, p_x, b, jnp.ones((B,)))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s_x), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx.astype(jnp.float32)),
+        np.asarray(gx_x.astype(jnp.float32)), atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy.astype(jnp.float32)),
+        np.asarray(gy_x.astype(jnp.float32)), atol=5e-3,
+    )

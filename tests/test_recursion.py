@@ -418,3 +418,45 @@ def test_debug_self_check_degenerate_boundaries():
     )
     assert np.asarray(s).shape == (B,)
     assert float(s[0]) == 0.0  # empty path scores 0
+
+
+def test_debug_self_check_bf16_storage_no_spurious_raise():
+    """bf16 STORAGE inputs round occupancies to ~1e-3: the self-check
+    tolerance must be keyed on storage precision, not default to the f64
+    bound (ADVICE r2: recursion.py)."""
+    rng = np.random.default_rng(5)
+    B, S, T = 3, 6, 11
+    px, py = _random_pxpy(rng, B, S, T)
+    s, (gx, gy) = mutual_information_recursion(
+        jnp.asarray(px).astype(jnp.bfloat16),
+        jnp.asarray(py).astype(jnp.bfloat16),
+        None, calc_gradients=True, debug_self_check=True,
+    )
+    assert gx.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_rows_api_f64_dtype_policy():
+    """mutual_information_rows applies the same dtype policy as the
+    (B,S,T)-major API: f64 auto-routes to the XLA core even when the
+    process default is pallas; explicit pallas raises (ADVICE r2)."""
+    from fast_rnnt_tpu.ops import recursion as rec
+    from fast_rnnt_tpu.ops.recursion import mutual_information_rows
+
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(7)
+        B, S, T = 2, 4, 7
+        px, py = _random_pxpy(rng, B, S, T)
+        px_rows = jnp.moveaxis(jnp.asarray(px, jnp.float64), 1, 0)
+        py_rows = jnp.moveaxis(jnp.asarray(py, jnp.float64), 1, 0)
+        boundary = jnp.asarray(_random_boundary(rng, B, S, T))
+
+        old = rec._DEFAULT_IMPL
+        try:
+            rec._DEFAULT_IMPL = "pallas"
+            s = mutual_information_rows(px_rows, py_rows, boundary)
+            assert s.dtype == jnp.float64
+        finally:
+            rec._DEFAULT_IMPL = old
+        with pytest.raises(TypeError, match="float32"):
+            mutual_information_rows(px_rows, py_rows, boundary, impl="pallas")

@@ -172,3 +172,49 @@ def test_streaming_beam_matches_offline_beam():
         state, (hyps, lens) = step(state, fc, cl)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
     np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
+
+
+def test_causal_without_left_context_is_still_causal():
+    """causal=True with attention_left_context=None must apply a pure
+    causal (kk <= q) attention mask — never attend to the future (ADVICE
+    r2: transducer.py).  Perturbing future input frames must not change
+    earlier encoder outputs."""
+    cfg = _causal_cfg(attention_left_context=None)
+    model, params = init_model(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    B, T = 2, 32
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.feature_dim)).astype(np.float32))
+    flens = jnp.full((B,), T, jnp.int32)
+
+    def encode(f):
+        enc, _ = model.apply(
+            params, f, flens, method=lambda m, x, l: m.encoder(x, l)
+        )
+        return enc
+
+    enc_a = encode(feats)
+    # perturb input frames >= t0; encoder frame j depends on inputs <= 4j
+    t0 = 24
+    feats_b = feats.at[:, t0:].set(
+        jnp.asarray(rng.normal(size=(B, T - t0, cfg.feature_dim)).astype(np.float32))
+    )
+    enc_b = encode(feats_b)
+    unaffected = [j for j in range(enc_a.shape[1]) if 4 * j < t0]
+    np.testing.assert_allclose(
+        np.asarray(enc_a[:, unaffected]), np.asarray(enc_b[:, unaffected]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_streaming_init_warns_on_unbounded_attention():
+    """streaming_init must warn when attention_left_context is None: the
+    receptive field is unbounded, so sliding-window streaming cannot stay
+    exact (ADVICE r2: streaming.py)."""
+    import warnings
+
+    cfg = _causal_cfg(attention_left_context=None)
+    model, _ = init_model(jax.random.PRNGKey(0), cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        streaming_init(model, StreamingConfig(chunk=16, left=32), 1)
+    assert any("unbounded" in str(x.message) for x in w)
