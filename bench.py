@@ -64,10 +64,28 @@ def step_fn(am, lm, symbols, boundary):
 
 
 def main():
+    from fast_rnnt_tpu.utils.parity import enforce_parity, onchip_parity_gate
     from fast_rnnt_tpu.utils.profiling import benchmark_on_device, compiled_memory_mb
 
     dev = jax.devices()[0]
     inputs = make_inputs()
+
+    # On-chip COMPILED correctness gate before any timing (the reference
+    # self-checks on every call, tf_fast_rnnt_op.cc:110; here the
+    # equivalent evidence is produced once per bench run on the real
+    # device): fused-vs-XLA, occupancy round-trip, golden vectors, bf16
+    # production mode.  Enforced after the JSON is printed so the driver
+    # records the numbers either way; a failure exits nonzero.
+    parity = onchip_parity_gate(*inputs, s_range=S_RANGE)
+    parity_failed = None
+    try:
+        enforce_parity(parity)
+    except FloatingPointError as e:
+        parity_failed = str(e)
+    parity = {
+        k: (round(v, 8) if isinstance(v, float) else v) for k, v in parity.items()
+    }
+    parity["ok"] = parity_failed is None
 
     # device-side timing loop: one dispatch runs ITERS full steps, so host
     # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —
@@ -95,6 +113,7 @@ def main():
         "audio_seconds_per_s": round(audio_seconds / avg_s, 1),
         "device": str(dev),
         "workload": {"B": B, "T": T, "S": S, "C": C, "s_range": S_RANGE},
+        "parity": parity,
     }
     print(json.dumps(result), flush=True)
 
@@ -119,10 +138,14 @@ def main():
                 "vs_baseline": round(BASELINE_US / avg_us16, 3),
                 "peak_hbm_mb": round(peak_mb16, 1),
                 "audio_seconds_per_s": round(audio_seconds / avg_s16, 1),
+                "parity_ok": parity["ok"],
             }
         ),
         flush=True,
     )
+
+    if parity_failed is not None:
+        raise SystemExit(f"PARITY GATE FAILED: {parity_failed}")
 
 
 if __name__ == "__main__":
