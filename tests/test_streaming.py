@@ -100,16 +100,17 @@ def test_streaming_requires_causal_encoder():
 
 
 def test_streaming_config_validation():
-    with pytest.raises(ValueError, match="multiples of 4"):
-        StreamingConfig(chunk=10, left=40)
-    with pytest.raises(ValueError, match="multiple of chunk"):
-        StreamingConfig(chunk=16, left=40)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        StreamingConfig(chunk=10)
+    # `left` is a deprecated no-op (the stateful encoder carries exact
+    # history) — any value is accepted and ignored
+    StreamingConfig(chunk=16, left=40)
 
 
-@pytest.mark.parametrize("chunk,left", [(8, 96), (32, 96), (4, 100)])
-def test_streaming_parity_config_sweep(chunk, left):
-    """Parity must hold across chunk/history geometries (as long as the
-    history covers the receptive field)."""
+@pytest.mark.parametrize("chunk", [8, 32, 4])
+def test_streaming_parity_config_sweep(chunk):
+    """Parity must hold for ANY chunk size — the stateful encoder carries
+    exact per-layer history, so there is no receptive-field condition."""
     cfg = _causal_cfg(num_layers=1, attention_left_context=3)
     model, params = init_model(jax.random.PRNGKey(3), cfg)
     rng = np.random.default_rng(chunk)
@@ -119,7 +120,7 @@ def test_streaming_parity_config_sweep(chunk, left):
 
     off_hyps, off_lens = greedy_search(model, params, feats, flens, max_len=48)
 
-    scfg = StreamingConfig(chunk=chunk, left=left, max_len=48)
+    scfg = StreamingConfig(chunk=chunk, max_len=48)
     state = streaming_init(model, scfg, B)
     step = jax.jit(
         lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)
@@ -136,11 +137,31 @@ def test_streaming_parity_config_sweep(chunk, left):
     np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
 
 
-def test_streaming_warns_on_short_history():
+def test_streaming_exact_with_large_receptive_field_and_tiny_chunks():
+    """The round-2 design needed `left >= receptive field` for parity;
+    the stateful encoder must be exact even when a single chunk is far
+    smaller than the receptive field (deep stack, wide attention, long
+    conv kernels, chunk=4)."""
     cfg = _causal_cfg(num_layers=2, attention_left_context=16, conv_kernel=15)
-    model, _ = init_model(jax.random.PRNGKey(4), cfg)
-    with pytest.warns(RuntimeWarning, match="receptive field"):
-        streaming_init(model, StreamingConfig(chunk=8, left=16), 1)
+    model, params = init_model(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    B, T = 2, 64
+    feats = jnp.asarray(rng.normal(size=(B, T, cfg.feature_dim)).astype(np.float32))
+    flens = jnp.asarray(np.array([T, T - 9], np.int32))
+    off_hyps, off_lens = greedy_search(model, params, feats, flens, max_len=32)
+
+    scfg = StreamingConfig(chunk=4, max_len=32)
+    state = streaming_init(model, scfg, B)
+    step = jax.jit(
+        lambda st, fc, cl: streaming_step(model, params, scfg, st, fc, cl)
+    )
+    hyps = lens = None
+    for i in range(T // scfg.chunk):
+        fc = feats[:, i * scfg.chunk : (i + 1) * scfg.chunk]
+        cl = jnp.clip(flens - i * scfg.chunk, 0, scfg.chunk)
+        state, (hyps, lens) = step(state, fc, cl)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(off_lens))
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(off_hyps))
 
 
 def test_streaming_beam_matches_offline_beam():
@@ -206,15 +227,11 @@ def test_causal_without_left_context_is_still_causal():
     )
 
 
-def test_streaming_init_warns_on_unbounded_attention():
-    """streaming_init must warn when attention_left_context is None: the
-    receptive field is unbounded, so sliding-window streaming cannot stay
-    exact (ADVICE r2: streaming.py)."""
-    import warnings
-
+def test_streaming_init_rejects_unbounded_attention():
+    """attention_left_context=None means unbounded causal attention: its
+    per-layer state cannot be carried in O(1) memory, so streaming_init
+    must refuse (ADVICE r2: streaming.py)."""
     cfg = _causal_cfg(attention_left_context=None)
     model, _ = init_model(jax.random.PRNGKey(0), cfg)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        streaming_init(model, StreamingConfig(chunk=16, left=32), 1)
-    assert any("unbounded" in str(x.message) for x in w)
+    with pytest.raises(ValueError, match="attention_left_context"):
+        streaming_init(model, StreamingConfig(chunk=16), 1)
