@@ -110,6 +110,13 @@ def compiled_memory_mb(fn: Callable[..., Any], *args: Any) -> Dict[str, float]:
             ma.alias_size_in_bytes * mb
         )
     )
+    # XLA's buffer-assignment peak (live-range aware) where the backend
+    # fills it; 0 on backends that don't (e.g. this jaxlib's CPU client).
+    # Cross-checked against an OS-measured execution peak in
+    # scripts/measure_memory.py (BENCH.md memory-validation table).
+    peak = getattr(ma, "peak_memory_in_bytes", 0) or 0
+    if peak:
+        out["xla_peak_mb"] = peak * mb
     return out
 
 
