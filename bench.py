@@ -144,8 +144,73 @@ def main():
         flush=True,
     )
 
+    # --- streaming serving (third JSON line; VERDICT r2 item 7) ----------
+    # Causal conformer (6L/256d, bf16 compute, 32-frame attention window),
+    # 320 ms chunks, STATEFUL encoder (per-layer carried state; each step
+    # encodes only the chunk) + batched greedy decode.  No reference
+    # baseline exists (the reference ships no inference).
+    try:
+        stream = streaming_bench()
+        print(json.dumps(stream), flush=True)
+    except Exception as e:  # never lose the training-step rows over this
+        print(
+            json.dumps({"metric": "streaming_serving", "error": repr(e)[:200]}),
+            flush=True,
+        )
+
     if parity_failed is not None:
         raise SystemExit(f"PARITY GATE FAILED: {parity_failed}")
+
+
+def streaming_bench(chunk=32, batch_sizes=(8, 32)):
+    from fast_rnnt_tpu.models import (
+        StreamingConfig,
+        TransducerConfig,
+        init_model,
+        streaming_init,
+        streaming_step,
+    )
+    from fast_rnnt_tpu.utils.profiling import benchmark_carried_on_device
+
+    cfg = TransducerConfig(causal=True, attention_left_context=32)
+    model, params = init_model(jax.random.PRNGKey(0), cfg)
+    scfg = StreamingConfig(chunk=chunk, max_len=256)
+    chunk_audio_s = chunk * 0.01  # 10 ms input frames
+
+    rng = np.random.default_rng(0)
+    rows = {}
+    for Bs in batch_sizes:
+        feats = jnp.asarray(
+            rng.normal(size=(Bs, chunk, cfg.feature_dim)).astype(np.float32)
+        )
+        lens = jnp.full((Bs,), chunk, jnp.int32)
+        state = streaming_init(model, scfg, Bs)
+
+        def step(st, fc, cl):
+            new_state, _ = streaming_step(model, params, scfg, st, fc, cl)
+            return new_state
+
+        dt = benchmark_carried_on_device(step, state, feats, lens, iters=20)
+        rows[Bs] = {
+            "step_us": round(dt * 1e6, 1),
+            "rtf": round(dt / chunk_audio_s, 5),
+            "streams_at_rt": int(Bs * chunk_audio_s / dt),
+        }
+    top = max(batch_sizes)
+    return {
+        "metric": "streaming_serving",
+        "value": rows[top]["step_us"],
+        "unit": "us_per_chunk_step",
+        "vs_baseline": None,  # the reference has no inference path
+        "streams_at_rt": rows[top]["streams_at_rt"],
+        "rtf": rows[top]["rtf"],
+        "per_batch": {str(k): v for k, v in rows.items()},
+        "geometry": {
+            "chunk_ms": int(chunk_audio_s * 1000),
+            "model": "causal-conformer-6L-256d-L32",
+            "encoder": "stateful (O(chunk)/step)",
+        },
+    }
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ __all__ = [
     "compiled_memory_mb",
     "benchmark_fn",
     "benchmark_on_device",
+    "benchmark_carried_on_device",
 ]
 
 
@@ -176,6 +177,51 @@ def benchmark_on_device(
         float(jax.device_get(out))
         return time.perf_counter() - t0
 
+    slopes = []
+    for _ in range(trials):
+        t_n = run(n1)
+        t_3n = run(n3)
+        slopes.append(max(t_3n - t_n, 0.0) / (2 * iters))
+    slopes.sort()
+    mid = len(slopes) // 2
+    if len(slopes) % 2:
+        return slopes[mid]
+    return 0.5 * (slopes[mid - 1] + slopes[mid])
+
+
+def benchmark_carried_on_device(
+    step: Callable[..., Any],
+    carry: Any,
+    *args: Any,
+    iters: int = 20,
+    trials: int = 3,
+) -> float:
+    """:func:`benchmark_on_device` for STATEFUL steps:
+    ``step(carry, *args) -> new_carry`` (e.g. a streaming decode step).
+    The carry chains every iteration to the previous one, so the loop is
+    inherently sequential and nothing can be hoisted or dead-code
+    eliminated.  Same median-of-slopes estimator (per-dispatch constants
+    cancel)."""
+    import jax.numpy as jnp
+
+    def looped(n, carry, *a):
+        return jax.lax.fori_loop(
+            0, n, lambda i, c: step(c, *a), carry
+        )
+
+    f = jax.jit(looped)
+    n1 = jnp.int32(iters)
+    n3 = jnp.int32(3 * iters)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = f(n, carry, *args)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    run(n1)  # compile + warm
+    run(n3)
     slopes = []
     for _ in range(trials):
         t_n = run(n1)
