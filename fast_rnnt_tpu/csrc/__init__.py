@@ -79,6 +79,9 @@ def load_library() -> ctypes.CDLL:
     lib.frt_fbank.argtypes = [fp, i32, i32, i32, i32, i32, i32, f32, f32, f32,
                               fp, i32]
     lib.frt_fbank.restype = i32
+    lib.frt_fbank_ctx.argtypes = [fp, i32, i32, i32, i32, i32, i32, f32, f32,
+                                  f32, fp, i32, i32, f32]
+    lib.frt_fbank_ctx.restype = i32
     _lib = lib
     return lib
 

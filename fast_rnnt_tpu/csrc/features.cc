@@ -58,14 +58,16 @@ inline double hz_to_mel(double hz) { return 1127.0 * std::log1p(hz / 700.0); }
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// wav: n samples in [-1, 1].  out: (max_frames, n_mels) row-major.
-// Returns the number of frames written (floor((n - win_len)/hop) + 1, or 0).
-int32_t frt_fbank(const float* wav, int32_t n, int32_t sample_rate,
-                  int32_t win_len, int32_t hop, int32_t n_fft,
-                  int32_t n_mels, float low_hz, float high_hz,
-                  float preemph, float* out, int32_t max_frames) {
+// Core extractor.  have_prev/prev_sample supply the sample preceding
+// wav[0] for pre-emphasis, so a long stream can be processed in chunks
+// with EXACT parity to one offline call (data/features.py:StreamingFbank).
+int32_t fbank_impl(const float* wav, int32_t n, int32_t sample_rate,
+                   int32_t win_len, int32_t hop, int32_t n_fft,
+                   int32_t n_mels, float low_hz, float high_hz,
+                   float preemph, float* out, int32_t max_frames,
+                   int32_t have_prev, float prev_sample) {
   if (n < win_len || win_len > n_fft) return 0;
   const int n_frames_all = (n - win_len) / hop + 1;
   const int n_frames = n_frames_all < max_frames ? n_frames_all : max_frames;
@@ -100,7 +102,10 @@ int32_t frt_fbank(const float* wav, int32_t n, int32_t sample_rate,
     const float* frame = wav + static_cast<int64_t>(f) * hop;
     // pre-emphasis + window, zero-pad to n_fft
     for (int i = 0; i < win_len; ++i) {
-      const float prev = (f * hop + i > 0) ? frame[i - 1] : frame[i];
+      const float prev =
+          (f * hop + i > 0)
+              ? frame[i - 1]
+              : (have_prev ? prev_sample : frame[i]);
       re[i] = (frame[i] - preemph * prev) * window[i];
       im[i] = 0.f;
     }
@@ -119,6 +124,32 @@ int32_t frt_fbank(const float* wav, int32_t n, int32_t sample_rate,
     }
   }
   return n_frames;
+}
+
+}  // namespace
+
+extern "C" {
+
+// wav: n samples in [-1, 1].  out: (max_frames, n_mels) row-major.
+// Returns the number of frames written (floor((n - win_len)/hop) + 1, or 0).
+int32_t frt_fbank(const float* wav, int32_t n, int32_t sample_rate,
+                  int32_t win_len, int32_t hop, int32_t n_fft,
+                  int32_t n_mels, float low_hz, float high_hz,
+                  float preemph, float* out, int32_t max_frames) {
+  return fbank_impl(wav, n, sample_rate, win_len, hop, n_fft, n_mels, low_hz,
+                    high_hz, preemph, out, max_frames, /*have_prev=*/0, 0.f);
+}
+
+// Chunked variant: prev_sample is the stream sample preceding wav[0]
+// (pre-emphasis context), making chunked extraction exactly equal to one
+// offline frt_fbank call over the concatenated stream.
+int32_t frt_fbank_ctx(const float* wav, int32_t n, int32_t sample_rate,
+                      int32_t win_len, int32_t hop, int32_t n_fft,
+                      int32_t n_mels, float low_hz, float high_hz,
+                      float preemph, float* out, int32_t max_frames,
+                      int32_t have_prev, float prev_sample) {
+  return fbank_impl(wav, n, sample_rate, win_len, hop, n_fft, n_mels, low_hz,
+                    high_hz, preemph, out, max_frames, have_prev, prev_sample);
 }
 
 }  // extern "C"

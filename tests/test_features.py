@@ -69,3 +69,45 @@ def test_fbank_edge_cases():
     # expected band: where 1 kHz falls among 80 HTK-mel bands over 20..8000 Hz
     ref_band = int(_fbank_numpy(tone)[10].argmax())
     assert peak_band == ref_band
+
+
+def test_streaming_fbank_exact_parity():
+    """Chunked extraction == one offline call, bit for bit, across ragged
+    chunk sizes (incl. chunks smaller than the window and a 1-sample
+    chunk straddling the pre-emphasis context)."""
+    from fast_rnnt_tpu.csrc import fbank_cpu
+    from fast_rnnt_tpu.data import StreamingFbank
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    ref = fbank_cpu(wav)
+
+    for chunks in (
+        [160] * 100,                      # steady hop-sized chunks
+        [37, 1, 500, 399, 2048, 16000],   # ragged, incl. tiny pieces
+        [16000],                          # everything at once
+    ):
+        sf = StreamingFbank()
+        outs, pos = [], 0
+        for c in chunks:
+            take = wav[pos : pos + c]
+            pos += len(take)
+            outs.append(sf.process(take))
+            if pos >= len(wav):
+                break
+        got = np.concatenate(outs, axis=0)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_streaming_fbank_reset_and_validation():
+    from fast_rnnt_tpu.data import StreamingFbank
+
+    with np.testing.assert_raises(ValueError):
+        StreamingFbank(n_fft=400)
+    sf = StreamingFbank()
+    rng = np.random.default_rng(1)
+    a = (rng.normal(size=2000) * 0.1).astype(np.float32)
+    out1 = sf.process(a)
+    sf.reset()
+    out2 = sf.process(a)
+    np.testing.assert_array_equal(out1, out2)
