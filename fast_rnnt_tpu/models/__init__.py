@@ -1,4 +1,5 @@
 from .decoding import greedy_over_frames, greedy_search, modified_beam_search
+from .metrics import edit_distance, token_error_rate
 from .streaming import StreamingConfig, streaming_init, streaming_step
 from .training import (
     LossConfig,
@@ -26,6 +27,8 @@ __all__ = [
     "greedy_search",
     "init_model",
     "StreamingConfig",
+    "edit_distance",
+    "token_error_rate",
     "streaming_init",
     "streaming_step",
     "modified_beam_search",
