@@ -194,11 +194,17 @@ def streaming_bench(chunk=32, batch_sizes=(8, 32)):
             new_state, _ = streaming_step(model, params, scfg, st, fc, cl)
             return new_state
 
-        dt = benchmark_carried_on_device(step, state, feats, lens, iters=20)
+        # sub-ms steps need many loop trips for the slope to clear the
+        # ~30 ms/dispatch tunnel noise
+        dt = benchmark_carried_on_device(step, state, feats, lens, iters=150)
+        if dt <= 0:
+            dt = benchmark_carried_on_device(
+                step, state, feats, lens, iters=600
+            )
         rows[Bs] = {
             "step_us": round(dt * 1e6, 1),
-            "rtf": round(dt / chunk_audio_s, 5),
-            "streams_at_rt": int(Bs * chunk_audio_s / dt),
+            "rtf": round(dt / chunk_audio_s, 5) if dt > 0 else None,
+            "streams_at_rt": int(Bs * chunk_audio_s / dt) if dt > 0 else None,
         }
     top = max(batch_sizes)
     return {

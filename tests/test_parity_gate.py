@@ -39,8 +39,8 @@ def test_parity_gate_passes():
 def test_enforce_parity_fails_loudly():
     good = {k: 0.0 for k in TOLERANCES}
     enforce_parity(good)
-    bad = dict(good, golden_max_abs_err=1.0)
-    with pytest.raises(FloatingPointError, match="golden_max_abs_err"):
+    bad = dict(good, golden_grads_max_abs_err=1.0)
+    with pytest.raises(FloatingPointError, match="golden_grads_max_abs_err"):
         enforce_parity(bad)
     nan = dict(good, roundtrip_max_abs_err=float("nan"))
     with pytest.raises(FloatingPointError, match="roundtrip"):
