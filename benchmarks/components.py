@@ -2,9 +2,14 @@
 
 Run on the TPU (leave JAX_PLATFORMS unset):  python benchmarks/components.py
 Prints one JSON line per component (slope-timed; see utils/profiling.py).
+
+Optional args: ``python benchmarks/components.py [B] [bf16]`` — override
+the batch size (the B-scaling investigation) and/or run the production
+bf16 mixed-precision mode.
 """
 
 import json
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +21,10 @@ from fast_rnnt_tpu.utils.profiling import benchmark_on_device, compiled_memory_m
 
 B, T, S, C = 30, 1000, 100, 500
 S_RANGE = 5
+BF16 = "bf16" in sys.argv[1:]
+for _a in sys.argv[1:]:
+    if _a.isdigit():
+        B = int(_a)
 
 
 def make_inputs(seed=0):
@@ -45,13 +54,23 @@ def report(name, fn, *args, mem=False):
 
 def main():
     am, lm, symbols, boundary = make_inputs()
-    print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
+    lattice_dtype = None
+    if BF16:
+        am, lm = am.astype(jnp.bfloat16), lm.astype(jnp.bfloat16)
+        lattice_dtype = jnp.bfloat16
+    print(
+        json.dumps(
+            {"device": str(jax.devices()[0]), "B": B, "bf16": BF16}
+        ),
+        flush=True,
+    )
 
     # full fused step (the bench.py headline)
     def fused_step(am, lm):
         def loss_fn(am, lm):
             s, p, _ = frt.rnnt_loss_simple_pruned(
-                lm, am, symbols, 0, S_RANGE, boundary, reduction="sum"
+                lm, am, symbols, 0, S_RANGE, boundary, reduction="sum",
+                lattice_dtype=lattice_dtype,
             )
             return 0.5 * s + p
 

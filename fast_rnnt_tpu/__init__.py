@@ -21,6 +21,8 @@ from .ops.lattice import (
     get_rnnt_logprobs_pruned_simple,
     get_rnnt_logprobs_smoothed,
     roll_by_shifts,
+    set_lattice_build_impl,
+    set_matmul_precision,
 )
 from .ops.losses import (
     rnnt_loss,
@@ -64,6 +66,8 @@ __all__ = [
     "get_rnnt_logprobs_pruned_simple",
     "get_rnnt_logprobs_smoothed",
     "roll_by_shifts",
+    "set_lattice_build_impl",
+    "set_matmul_precision",
     # pruning pipeline
     "adjust_pruning_lower_bound",
     "get_rnnt_prune_ranges",

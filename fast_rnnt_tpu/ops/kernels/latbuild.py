@@ -1,0 +1,405 @@
+"""Fused Pallas lattice-build kernels: (lm, am, symbols) -> (px, py) rows.
+
+TPU-native replacement for the XLA simple-lattice build
+(ops/lattice.py:get_rnnt_logprobs_rows, itself the TPU redesign of the
+reference's rnnt_loss.py:63-223).  Motivation is pure HBM traffic: the
+XLA build materializes exp(am - am_max) ([B, T, C], the step's largest
+tensor) and then reads BOTH it and raw ``am`` again in the two einsums —
+at the benchmark shape that is ~450 MB of traffic for a 545 µs stage
+pinned at the bandwidth wall (BENCH.md roofline).  This kernel streams
+each ``am`` tile through VMEM exactly ONCE and does everything in
+registers while it is resident:
+
+  * am_max and the shift exp                (VPU, f32 in-register)
+  * normalizer = log(lm_probs @ am_probs^T) (MXU; the rnnt_loss.py:175-186
+                                             memory trick, same precision
+                                             knob as the XLA einsums)
+  * the px symbol gather as a one-hot matmul (MXU, same resident tile)
+  * the py blank column, the regular -inf pad column, fix_for_boundary,
+    and the out-dtype cast all fused into the output stores
+
+HBM traffic drops to read-am + write-px/py (~145 MB fp32, ~90 MB bf16).
+The backward is a second fused kernel with the same structure: it
+recomputes am_probs in-register (the forward stores NO residual beyond
+what autodiff already keeps alive: lm, am, symbols), emits d_am tiles
+directly, and accumulates d_lm in a VMEM scratch across the sequential
+t-block grid dimension.
+
+Layout note (why every formula below is oriented the way it is): per-t
+quantities must end up on the LANE axis and per-s quantities on the
+sublane axis.  The am tile is (LANE=t, C); its per-t max/shift broadcast
+naturally along C, and every per-t ROW vector the math needs (the blank
+column, the symbol gathers) is produced directly in row orientation by
+an MXU contraction over C — there is not a single vector transpose or
+sublane<->lane relayout in either kernel.
+
+Numerics match the XLA build: same formula and stability shifts (the
+maxes are stop-gradient on both paths, so neither backward carries
+max-VJP terms), same MXU precision (ops/lattice.py:matmul_precision()),
+f32 accumulation throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..numerics import NEG_INF
+
+__all__ = ["lattice_rows_fused"]
+
+LANE = 128
+SUBLANE = 8
+_TINY = float(np.finfo(np.float32).tiny)
+
+# interpret-mode default for this process (set by kernels.register(...)
+# alongside the wavefront kernels)
+_INTERPRET = False
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _dot(a, b, dims, precision):
+    """dot_general with f32 accumulation; operands stay in their dtype so
+    bf16 inputs ride the MXU natively while f32 inputs honor the
+    precision knob (same contract as the XLA build's einsums)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _build_fwd_kernel(
+    lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
+    px_ref, py_ref,
+    *, S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
+    precision, mxu_dtype,
+):
+    it = pl.program_id(1)
+    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    blank_oh = (c_iota == blank).astype(mxu_dtype)  # (1, C)
+
+    for i in range(bblk):
+        a32 = am_ref[i].astype(jnp.float32)  # (LANE, C)
+        amax = jnp.max(a32, axis=1, keepdims=True)  # (LANE, 1)
+        ashift = (a32 - amax).astype(mxu_dtype)  # (LANE, C)
+        amp = jnp.exp(a32 - amax).astype(mxu_dtype)
+        lmp_i = lmp_ref[i]  # (S1, C)
+        d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
+        # norm == log(D) + lmmax + amax; the amax term is folded into the
+        # shifted am-side gathers below so no per-t row vector is needed
+        lognorm = jnp.log(d) + lmmax_ref[:, i:i + 1]  # (S1, LANE)
+
+        oh = (sym_ref[:, i:i + 1] == c_iota).astype(mxu_dtype)  # (S, C)
+        # px_am - amax in one contraction (rows of oh sum to 1)
+        px_am = _dot(oh, ashift, ((1,), (1,)), precision)  # (S, LANE)
+        px = px_am + pxlm_ref[:, i:i + 1] - lognorm[:S]
+        if not modified:
+            # the appended t = T column is -inf (no symbol on the one-past-
+            # the-end frame) and fix_for_boundary's te column likewise;
+            # te is -1 when no boundary was given (never matches)
+            kill = (tg == T) | (tg == te_ref[i, 0])
+            px = jnp.where(kill, NEG_INF, px)
+
+        # blank column of the shifted am, directly in row orientation
+        blank_row = _dot(blank_oh, ashift, ((1,), (1,)), precision)  # (1, LANE)
+        py = blank_row + pylm_ref[:, i:i + 1] - lognorm
+
+        px_ref[:, i, :] = px.astype(px_ref.dtype)
+        py_ref[:, i, :] = py.astype(py_ref.dtype)
+
+
+def _build_bwd_kernel(
+    lmp_ref, lmmax_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
+    dam_ref, dlm_ref,
+    dlm_acc,
+    *, S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
+    precision, mxu_dtype, nt_am: int,
+):
+    it = pl.program_id(1)
+    nt = pl.num_programs(1)
+    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    tmask = tg < T  # (1, LANE): pallas pads t-edge blocks with garbage
+
+    # t mask in column orientation for the am tile's rows: padded t rows
+    # hold garbage (possibly NaN) and 0 * NaN = NaN inside an MXU
+    # contraction, so they must be zeroed BEFORE any dot over t
+    tcol = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+
+    for i in range(bblk):
+        a32 = am_ref[i].astype(jnp.float32)
+        amax = jnp.max(a32, axis=1, keepdims=True)
+        amp32 = jnp.where(tcol < T, jnp.exp(a32 - amax), 0.0)  # (LANE, C) f32
+        amp = amp32.astype(mxu_dtype)
+        lmp_i = lmp_ref[i]  # (S1, C)
+        d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
+
+        dpx = dpx_ref[:, i, :].astype(jnp.float32)  # (S, LANE)
+        dpy = dpy_ref[:, i, :].astype(jnp.float32)  # (S1, LANE)
+        if not modified:
+            # cotangents of the constant -inf columns don't flow anywhere
+            dpx = jnp.where((tg == T) | (tg == te_ref[i, 0]), 0.0, dpx)
+        dpx = jnp.where(tmask, dpx, 0.0)
+        dpy = jnp.where(tmask, dpy, 0.0)
+
+        # d norm[s, t] = -(dpx[s, t] (rows < S) + dpy[s, t]); w = d norm / D.
+        # The t mask matters: at padded t columns D is garbage (possibly
+        # NaN) and w feeds a contraction OVER t in the d_lm path.
+        dnorm = -(jnp.concatenate([dpx, jnp.zeros_like(dpx[:1])], axis=0) + dpy)
+        w = jnp.where(tmask, dnorm / d, 0.0)  # (S1, LANE)
+        wm = w.astype(mxu_dtype)
+
+        # --- d_am tile (LANE, C) ---------------------------------------
+        # normalizer path (exp chain; the maxes are stop-gradient):
+        #   d_am[t, c] += amp[t, c] * sum_s lmp[s, c] * w[s, t]
+        dam = amp32 * _dot(wm, lmp_i, ((0,), (0,)), precision)
+        # px one-hot gather path: d_am[t, c] += sum_s oh[s, c] * dpx[s, t]
+        oh = (sym_ref[:, i:i + 1] == c_iota).astype(mxu_dtype)  # (S, C)
+        dam = dam + _dot(dpx.astype(mxu_dtype), oh, ((0,), (0,)), precision)
+        # py blank-column path: sum_s dpy[s, t] scattered to c == blank,
+        # via one contraction (keeps the per-t vector in row orientation)
+        blank_s = jnp.broadcast_to(
+            (c_iota == blank).astype(mxu_dtype), (S + 1, C)
+        )
+        dam = dam + _dot(dpy.astype(mxu_dtype), blank_s, ((0,), (0,)), precision)
+
+        @pl.when(it < nt_am)
+        def _():
+            dam_ref[i] = dam.astype(dam_ref.dtype)
+
+        # --- d_lm accumulation (S1, C) over the sequential t blocks ----
+        dlm_i = lmp_i.astype(jnp.float32) * _dot(
+            wm, amp, ((1,), (0,)), precision
+        )  # (S1, C): sum_t w[s, t] * amp[t, c]
+        # px_lm gather path (rows < S) and py_lm blank path
+        dlm_i = dlm_i + jnp.concatenate(
+            [
+                oh.astype(jnp.float32) * jnp.sum(dpx, axis=1, keepdims=True),
+                jnp.zeros((1, C), jnp.float32),
+            ],
+            axis=0,
+        )
+        dlm_i = dlm_i + (c_iota == blank).astype(jnp.float32) * jnp.sum(
+            dpy, axis=1, keepdims=True
+        )
+
+        prev = jnp.where(it > 0, dlm_acc[i], 0.0)
+        dlm_acc[i] = prev + dlm_i
+
+        @pl.when(it == nt - 1)
+        def _():
+            dlm_ref[i] = dlm_acc[i].astype(dlm_ref.dtype)
+
+
+def _shape_params(B: int, T: int, modified: bool):
+    wpx = T if modified else T + 1
+    bblk = SUBLANE
+    nb = _cdiv(B, bblk)
+    nt = _cdiv(wpx, LANE)
+    nt_am = _cdiv(T, LANE)
+    return wpx, bblk, nb, nt, nt_am
+
+
+def _lm_parts(lm, symbols, blank):
+    """Tiny XLA precomputation shared by fwd and bwd: the lm softmax parts
+    and the per-(b, s) lm gathers, pre-transposed to s-major (so in-kernel
+    per-s column vectors are natural (len, 1) slices, no relayouts)."""
+    lm32 = lm.astype(jnp.float32)
+    lmmax = jax.lax.stop_gradient(jnp.max(lm32, axis=2))  # (B, S1)
+    lmp = jnp.exp(lm32 - lmmax[:, :, None])  # (B, S1, C)
+    S = symbols.shape[1]
+    oh = (
+        symbols.astype(jnp.int32)[:, :, None]
+        == jnp.arange(lm.shape[2], dtype=jnp.int32)
+    )
+    pxlm_t = jnp.sum(lm32[:, :S, :] * oh, axis=2).T  # (S, B)
+    pylm_t = lm32[:, :, blank].T  # (S1, B)
+    return lmmax.T, lmp, pxlm_t, pylm_t  # lmmax also (S1, B)
+
+
+def _mxu_dtype(am_dtype):
+    # bf16 inputs ride the MXU natively (the XLA build's einsums contract
+    # bf16 operands the same way); f32 inputs keep f32 operands + the
+    # precision knob
+    return jnp.bfloat16 if am_dtype == jnp.bfloat16 else jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _build(lm, am, symbols, te_fix, precision, blank, modified, out_dtype,
+           interpret):
+    return _build_fwd(
+        lm, am, symbols, te_fix, precision, blank, modified, out_dtype,
+        interpret,
+    )[0]
+
+
+def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
+               out_dtype, interpret):
+    B, T, C = am.shape
+    S1 = lm.shape[1]
+    S = S1 - 1
+    wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
+    lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, blank)
+    mxu_dtype = _mxu_dtype(am.dtype)
+
+    lmp = lmp.astype(mxu_dtype)
+    sym_t = symbols.astype(jnp.int32).T  # (S, B)
+    te = te_fix.astype(jnp.int32)[:, None]  # (B, 1)
+
+    kernel = functools.partial(
+        _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
+        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype,
+    )
+    clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
+    px_rows, py_rows = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),  # lmp
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # lmmax (S1, B)
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # pxlm (S, B)
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # pylm (S1, B)
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # sym (S, B)
+            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),  # te
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),  # am
+        ],
+        out_specs=[
+            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B, wpx), out_dtype),
+            jax.ShapeDtypeStruct((S1, B, T), out_dtype),
+        ],
+        interpret=interpret,
+    )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, am)
+    return (px_rows, py_rows), (lm, am, symbols, te_fix)
+
+
+def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
+    lm, am, symbols, te_fix = res
+    dpx, dpy = cots
+    B, T, C = am.shape
+    S1 = lm.shape[1]
+    S = S1 - 1
+    wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
+    lmmax_t, lmp, _, _ = _lm_parts(lm, symbols, blank)
+    mxu_dtype = _mxu_dtype(am.dtype)
+    lmp = lmp.astype(mxu_dtype)
+    sym_t = symbols.astype(jnp.int32).T
+    te = te_fix.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(
+        _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
+        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
+    )
+    clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
+    d_am, d_lm = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),  # lmp
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # lmmax
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # sym
+            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),  # te
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),  # am
+            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                         memory_space=pltpu.VMEM),  # dpx
+            pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
+                         memory_space=pltpu.VMEM),  # dpy
+        ],
+        out_specs=[
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), am.dtype),
+            jax.ShapeDtypeStruct((B, S1, C), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
+        interpret=interpret,
+    )(lmp, lmmax_t, sym_t, te, am, dpx, dpy)
+
+    d_lm = d_lm.astype(lm.dtype)
+    return (
+        d_lm, d_am,
+        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
+        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
+    )
+
+
+_build.defvjp(_build_fwd, _build_bwd)
+
+
+def lattice_rows_fused(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    rnnt_type: str = "regular",
+    boundary: Optional[jax.Array] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel equivalent of lattice.get_rnnt_logprobs_rows.
+
+    Returns s-major ``(px_rows [S, B, T(+1)], py_rows [S1, B, T])``,
+    differentiable w.r.t. (lm, am) via the fused backward kernel.
+    ``out_dtype`` fuses the lattice-storage cast (the bf16 mixed-precision
+    mode) into the kernel's output stores.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    B, T, C = am.shape
+
+    if rnnt_type == "constrained":
+        # same composition as the XLA path: build "modified", px += py[1:]
+        px, py = lattice_rows_fused(
+            lm, am, symbols, termination_symbol, "modified", None,
+            out_dtype, interpret,
+        )
+        return px + py[1:], py
+
+    modified = rnnt_type == "modified"
+    if not modified and boundary is not None:
+        te_fix = boundary[:, 3].astype(jnp.int32)
+    else:
+        te_fix = jnp.full((B,), -1, jnp.int32)
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.dtype(
+        jnp.float32
+    )
+    from ..lattice import matmul_precision
+
+    return _build(
+        lm, am, symbols, te_fix, matmul_precision(), int(termination_symbol),
+        modified, out_dtype, bool(interpret),
+    )

@@ -507,8 +507,10 @@ def register(default: bool = False, interpret: bool = False) -> None:
     points (CPU test environments pass interpret=True)."""
     global _INTERPRET
     _INTERPRET = interpret
+    from . import latbuild
     from ..recursion import register_impl
 
+    latbuild._INTERPRET = interpret
     fwd = functools.partial(forward_lattice_pallas, interpret=interpret)
     bwd = functools.partial(backward_lattice_pallas, interpret=interpret)
     register_impl("pallas", fwd, bwd, default=default)

@@ -39,6 +39,7 @@ __all__ = [
     "matmul_precision",
     "roll_by_shifts",
     "scatter_window",
+    "set_lattice_build_impl",
     "set_matmul_precision",
 ]
 
@@ -69,6 +70,39 @@ def set_matmul_precision(precision) -> None:
 
 def matmul_precision() -> jax.lax.Precision:
     return _MATMUL_PRECISION
+
+
+# Simple-lattice build implementation: "auto" picks the fused Pallas
+# build kernel (ops/kernels/latbuild.py) whenever the recursion itself
+# defaults to the Pallas kernels (i.e. on TPU backends), because the XLA
+# build materializes exp(am - am_max) and re-reads am — ~3x the fused
+# kernel's HBM traffic (BENCH.md roofline).  "xla" forces the einsum
+# build everywhere (also the automatic fallback for f64 and S == 0).
+_LATTICE_BUILD_IMPL = "auto"
+
+
+def set_lattice_build_impl(impl: str) -> None:
+    """Select the simple-lattice build path: "auto" | "fused" | "xla"."""
+    if impl not in ("auto", "fused", "xla"):
+        raise ValueError(
+            f'lattice build impl must be "auto", "fused" or "xla", got {impl!r}'
+        )
+    global _LATTICE_BUILD_IMPL
+    _LATTICE_BUILD_IMPL = impl
+
+
+def _use_fused_build(lm, am, symbols) -> bool:
+    if _LATTICE_BUILD_IMPL == "xla":
+        return False
+    if symbols.shape[1] == 0 or am.shape[1] == 0:
+        return False  # degenerate shapes: the XLA build handles them
+    if am.dtype not in (jnp.float32, jnp.bfloat16) or lm.dtype != am.dtype:
+        return False
+    if _LATTICE_BUILD_IMPL == "fused":
+        return True
+    from .recursion import _resolve_default
+
+    return _resolve_default() == "pallas"
 
 
 def _check_rnnt_type(rnnt_type: str) -> None:
@@ -189,6 +223,7 @@ def get_rnnt_logprobs_rows(
     termination_symbol: int,
     rnnt_type: str = "regular",
     boundary: Optional[jax.Array] = None,
+    out_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """s-major variant of :func:`get_rnnt_logprobs`: returns
     ``px_rows`` [S, B, T(+1)] and ``py_rows`` [S+1, B, T].
@@ -198,10 +233,23 @@ def get_rnnt_logprobs_rows(
     transpose/staging pass the round-1 design paid between the lattice
     build and every kernel call.  Numerically identical to
     ``moveaxis(get_rnnt_logprobs(...), 1, 0)``.
+
+    ``out_dtype`` (optional) casts the returned lattice (the bf16
+    mixed-precision storage mode); on the fused-kernel path the cast
+    happens inside the kernel's output stores.  On TPU backends the
+    build runs as ONE fused Pallas kernel (see set_lattice_build_impl /
+    ops/kernels/latbuild.py) — same formula, ~3x less HBM traffic.
     """
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
+    if _use_fused_build(lm, am, symbols):
+        from .kernels.latbuild import lattice_rows_fused
+
+        return lattice_rows_fused(
+            lm, am, symbols, termination_symbol, rnnt_type, boundary,
+            out_dtype=out_dtype,
+        )
 
     # stability shifts only: gradient contributions cancel exactly (see
     # get_rnnt_logprobs)
@@ -261,6 +309,9 @@ def get_rnnt_logprobs_rows(
         px = jnp.where(t == boundary[:, 3][None, :, None], NEG_INF, px)
     elif rnnt_type == "constrained":
         px = px + py[1:]
+    if out_dtype is not None:
+        px = px.astype(out_dtype)
+        py = py.astype(out_dtype)
     return px, py
 
 

@@ -373,8 +373,16 @@ def rnnt_loss_pruned_simple(
     K = ranges.shape[2]
     lo = ranges[:, :, 0]
     base_type = "modified" if rnnt_type == "constrained" else rnnt_type
+    # fuse the lattice-storage cast into the build when nothing is added
+    # to px afterwards (otherwise cast after the add, exactly as before)
+    _cast = (
+        lattice_dtype
+        if (delay_penalty <= 0.0 and rnnt_type != "constrained")
+        else None
+    )
     px_rows, py_rows = get_rnnt_logprobs_rows(
-        lm, am, symbols, termination_symbol, base_type, boundary
+        lm, am, symbols, termination_symbol, base_type, boundary,
+        out_dtype=_cast,
     )
     if rnnt_type == "constrained":
         # constrained adds the NEXT row's (band-masked) blank arc to px; the
@@ -443,7 +451,8 @@ def rnnt_loss_simple_pruned(
         px_simple_rows = px0_rows + py_rows[1:]
     else:
         px_simple_rows, py_rows = get_rnnt_logprobs_rows(
-            lm, am, symbols, termination_symbol, rnnt_type, boundary
+            lm, am, symbols, termination_symbol, rnnt_type, boundary,
+            out_dtype=lattice_dtype if delay_penalty <= 0.0 else None,
         )
         px0_rows = px_simple_rows
 
@@ -540,8 +549,16 @@ def rnnt_loss_smoothed_pruned(
     # lattice only steers the ranges; matches the reference's test
     # pipeline semantics, simple_rnnt_loss_test.py:108-143)
     base_type = "modified" if rnnt_type == "constrained" else rnnt_type
+    # fuse the lattice-storage cast into the build when nothing is added
+    # to px afterwards (otherwise cast after the add, exactly as before)
+    _cast = (
+        lattice_dtype
+        if (delay_penalty <= 0.0 and rnnt_type != "constrained")
+        else None
+    )
     px_rows, py_rows = get_rnnt_logprobs_rows(
-        lm, am, symbols, termination_symbol, base_type, boundary
+        lm, am, symbols, termination_symbol, base_type, boundary,
+        out_dtype=_cast,
     )
     if rnnt_type == "constrained":
         py_banded = band_mask_rows_smajor(py_rows, lo, K)

@@ -93,7 +93,17 @@ def onchip_parity_gate(
 
     run = jax.jit(fused, static_argnums=(0, 1))
     s_d, p_d, ga_d, gl_d = run(None, None, am, lm)
-    s_x, p_x, ga_x, gl_x = run("xla", None, am, lm)
+    # the reference side forces the XLA lattice build too, so the fused
+    # Pallas build (+ its VJP kernel) is checked against a fully
+    # independent compiled path, losses AND gradients
+    from fast_rnnt_tpu.ops import lattice as _lattice
+
+    _prev_build = _lattice._LATTICE_BUILD_IMPL
+    _lattice.set_lattice_build_impl("xla")
+    try:
+        s_x, p_x, ga_x, gl_x = run("xla", None, am, lm)
+    finally:
+        _lattice.set_lattice_build_impl(_prev_build)
     out["fused_vs_xla_loss_rel_err"] = max(_rel_err(s_d, s_x), _rel_err(p_d, p_x))
     out["fused_vs_xla_grad_rel_err"] = max(
         _scaled_err(ga_d, ga_x), _scaled_err(gl_d, gl_x)

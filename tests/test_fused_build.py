@@ -1,0 +1,170 @@
+"""Parity tests for the fused Pallas lattice-build kernels
+(ops/kernels/latbuild.py) against the XLA einsum build
+(ops/lattice.py:get_rnnt_logprobs_rows) — values AND gradients.
+
+Interpreter mode on CPU (the compiled path is exercised on-chip by
+bench.py's parity gate, which runs the fused pipeline — and with it this
+build — against impl="xla" on the real device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_rnnt_tpu.ops import lattice
+from fast_rnnt_tpu.ops.kernels import register
+from fast_rnnt_tpu.ops.kernels.latbuild import lattice_rows_fused
+
+register(default=False, interpret=True)
+
+
+def _inputs(rng, B, T, S, C, dtype=np.float32):
+    lm = rng.normal(size=(B, S + 1, C)).astype(dtype)
+    am = rng.normal(size=(B, T, C)).astype(dtype)
+    symbols = rng.integers(1, C, size=(B, S)).astype(np.int32)
+    t_end = np.clip(rng.integers(max(2, T // 2), T + 1, size=B), 2, T)
+    s_end = np.clip(rng.integers(max(1, S // 2), S + 1, size=B), 1, S)
+    boundary = np.stack(
+        [np.zeros(B, np.int32), np.zeros(B, np.int32),
+         s_end.astype(np.int32), t_end.astype(np.int32)], axis=1
+    )
+    return jnp.asarray(lm), jnp.asarray(am), jnp.asarray(symbols), jnp.asarray(boundary)
+
+
+def _xla_build(lm, am, symbols, rnnt_type, boundary, out_dtype=None):
+    old = lattice._LATTICE_BUILD_IMPL
+    lattice.set_lattice_build_impl("xla")
+    try:
+        return lattice.get_rnnt_logprobs_rows(
+            lm, am, symbols, 0, rnnt_type, boundary, out_dtype=out_dtype
+        )
+    finally:
+        lattice.set_lattice_build_impl(old)
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+@pytest.mark.parametrize("with_boundary", [True, False])
+def test_fused_build_matches_xla_values(rnnt_type, with_boundary):
+    rng = np.random.default_rng(0)
+    # odd sizes on purpose: B not a multiple of 8, T crossing a lane
+    # block, C not a multiple of 128
+    B, T, S, C = 3, 140, 5, 37
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    boundary = boundary if with_boundary else None
+
+    px_ref, py_ref = _xla_build(lm, am, symbols, rnnt_type, boundary)
+    px, py = lattice_rows_fused(
+        lm, am, symbols, 0, rnnt_type, boundary, interpret=True
+    )
+    assert px.shape == px_ref.shape and py.shape == py_ref.shape
+    np.testing.assert_allclose(px, px_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(py, py_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_build_lane_multiple_edge():
+    # T an exact multiple of the 128 lane width: the regular px needs one
+    # more t block than am/py have — exercises the clamped index maps
+    rng = np.random.default_rng(1)
+    B, T, S, C = 2, 128, 4, 16
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    for rnnt_type in ("regular", "modified"):
+        px_ref, py_ref = _xla_build(lm, am, symbols, rnnt_type, boundary)
+        px, py = lattice_rows_fused(
+            lm, am, symbols, 0, rnnt_type, boundary, interpret=True
+        )
+        np.testing.assert_allclose(px, px_ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(py, py_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+def test_fused_build_gradients_match_xla(rnnt_type):
+    rng = np.random.default_rng(2)
+    B, T, S, C = 3, 70, 6, 25
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    # random cotangents make the VJP comparison cover every output entry
+    px_ref, py_ref = _xla_build(lm, am, symbols, rnnt_type, boundary)
+    cpx = jnp.asarray(rng.normal(size=px_ref.shape).astype(np.float32))
+    cpy = jnp.asarray(rng.normal(size=py_ref.shape).astype(np.float32))
+
+    def scalar(build):
+        def f(lm_, am_):
+            px, py = build(lm_, am_)
+            return jnp.sum(px * cpx) + jnp.sum(py * cpy)
+
+        return jax.grad(f, argnums=(0, 1))(lm, am)
+
+    g_ref = scalar(lambda l, a: _xla_build(l, a, symbols, rnnt_type, boundary))
+    g_fused = scalar(
+        lambda l, a: lattice_rows_fused(
+            l, a, symbols, 0, rnnt_type, boundary, interpret=True
+        )
+    )
+    np.testing.assert_allclose(g_fused[0], g_ref[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_fused[1], g_ref[1], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_build_bf16_mode():
+    """bf16 inputs + bf16 lattice storage: values within bf16 tolerance of
+    the f32 XLA build; gradients finite and bf16-typed."""
+    rng = np.random.default_rng(3)
+    B, T, S, C = 2, 96, 4, 20
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    px_ref, py_ref = _xla_build(lm, am, symbols, "regular", boundary)
+
+    lm16, am16 = lm.astype(jnp.bfloat16), am.astype(jnp.bfloat16)
+    px, py = lattice_rows_fused(
+        lm16, am16, symbols, 0, "regular", boundary,
+        out_dtype=jnp.bfloat16, interpret=True,
+    )
+    assert px.dtype == jnp.bfloat16 and py.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        px.astype(np.float32), px_ref, rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        py.astype(np.float32), py_ref, rtol=0.05, atol=0.05
+    )
+
+    def f(lm_, am_):
+        px, py = lattice_rows_fused(
+            lm_, am_, symbols, 0, "regular", boundary,
+            out_dtype=jnp.bfloat16, interpret=True,
+        )
+        return (
+            jnp.sum(px.astype(jnp.float32) ** 2)
+            + jnp.sum(py.astype(jnp.float32) ** 2)
+        )
+
+    glm, gam = jax.grad(f, argnums=(0, 1))(lm16, am16)
+    assert glm.dtype == jnp.bfloat16 and gam.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(glm, dtype=np.float32)).all()
+    assert np.isfinite(np.asarray(gam, dtype=np.float32)).all()
+
+
+def test_fused_build_out_dtype_and_losses_path():
+    """The fused build slots into the fused pipeline: forcing impl="fused"
+    must reproduce the XLA-build pipeline's losses and gradients."""
+    from fast_rnnt_tpu import rnnt_loss_simple_pruned
+
+    rng = np.random.default_rng(4)
+    B, T, S, C = 3, 80, 6, 30
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+
+    def pipeline(lm_, am_):
+        simple, pruned, _ = rnnt_loss_simple_pruned(
+            lm_, am_, symbols, 0, 3, boundary, reduction="sum", impl="pallas"
+        )
+        return simple + pruned
+
+    lattice.set_lattice_build_impl("xla")
+    try:
+        ref, gref = jax.value_and_grad(pipeline, argnums=(0, 1))(lm, am)
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    lattice.set_lattice_build_impl("fused")
+    try:
+        out, gout = jax.value_and_grad(pipeline, argnums=(0, 1))(lm, am)
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gout[0], gref[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gout[1], gref[1], rtol=1e-4, atol=1e-5)
