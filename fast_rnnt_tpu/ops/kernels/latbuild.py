@@ -78,11 +78,16 @@ def _dot(a, b, dims, precision):
 
 
 def _build_fwd_kernel(
-    lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
-    px_ref, py_ref,
-    *, S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
-    precision, mxu_dtype,
+    *refs,
+    S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
+    precision, mxu_dtype, parts: bool,
 ):
+    if parts:
+        (lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, uni_ref,
+         am_ref, px_ref, py_ref, nd_ref) = refs
+    else:
+        (lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
+         px_ref, py_ref) = refs
     it = pl.program_id(1)
     tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -117,16 +122,33 @@ def _build_fwd_kernel(
         px_ref[:, i, :] = px.astype(px_ref.dtype)
         py_ref[:, i, :] = py.astype(py_ref.dtype)
 
+        if parts:
+            # normd[s, t] = norm[s, t] - amonly[t]: the am_max and the
+            # +_TINY-free log both cancel exactly in the difference the
+            # smoothed interpolation needs, so the whole am-only
+            # normalizer reduces to one extra matvec on the resident tile
+            # (the am_max shift cancels exactly in this difference, which
+            # is the only form the smoothed interpolation needs)
+            duni = _dot(uni_ref[...], amp, ((1,), (1,)), precision)  # (1, LANE)
+            nd_ref[:, i, :] = (lognorm - jnp.log(duni)).astype(nd_ref.dtype)
+
 
 def _build_bwd_kernel(
-    lmp_ref, lmmax_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
-    dam_ref, dlm_ref,
-    dlm_acc,
-    *, S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
-    precision, mxu_dtype, nt_am: int,
+    *refs,
+    S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
+    precision, mxu_dtype, nt_am: int, parts: bool, Btotal: int = 0,
 ):
+    if parts:
+        (lmp_ref, lmmax_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
+         dpy_ref, dnd_ref, dam_ref, dlm_ref, duni_ref,
+         dlm_acc, duni_acc) = refs
+    else:
+        (lmp_ref, lmmax_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
+         dam_ref, dlm_ref, dlm_acc) = refs
     it = pl.program_id(1)
+    ib = pl.program_id(0)
     nt = pl.num_programs(1)
+    nb = pl.num_programs(0)
     tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     tmask = tg < T  # (1, LANE): pallas pads t-edge blocks with garbage
@@ -156,6 +178,12 @@ def _build_bwd_kernel(
         # The t mask matters: at padded t columns D is garbage (possibly
         # NaN) and w feeds a contraction OVER t in the d_lm path.
         dnorm = -(jnp.concatenate([dpx, jnp.zeros_like(dpx[:1])], axis=0) + dpy)
+        if parts:
+            # normd = norm - amonly is a third primal output; its cotangent
+            # adds to the norm path and subtracts (summed over s) from the
+            # am-only normalizer path
+            dnd = jnp.where(tmask, dnd_ref[:, i, :].astype(jnp.float32), 0.0)
+            dnorm = dnorm + dnd
         w = jnp.where(tmask, dnorm / d, 0.0)  # (S1, LANE)
         wm = w.astype(mxu_dtype)
 
@@ -172,6 +200,38 @@ def _build_bwd_kernel(
             (c_iota == blank).astype(mxu_dtype), (S + 1, C)
         )
         dam = dam + _dot(dpy.astype(mxu_dtype), blank_s, ((0,), (0,)), precision)
+
+        if parts:
+            # am-only normalizer path: amonly[t] = log sum_c uni[c]*amp[t,c]
+            # (+ amax, stop-grad), so d_am[t,c] += uni[c]*amp[t,c] * rd[t]
+            # with rd = d_amonly / D_uni and d_amonly[t] = -sum_s dnd[s,t]
+            uni = uni_ref[...]  # (1, C)
+            duni_row = _dot(uni, amp, ((1,), (1,)), precision)  # (1, LANE)
+            rd_row = jnp.where(
+                tmask, -jnp.sum(dnd, axis=0, keepdims=True) / duni_row, 0.0
+            )  # (1, LANE)
+            # row -> column via one identity matmul (no vector relayout)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+            ).astype(mxu_dtype)
+            rd_col = _dot(eye, rd_row.astype(mxu_dtype), ((1,), (1,)),
+                          precision)  # (LANE, 1)
+            dam = dam + amp32 * (rd_col * uni.astype(jnp.float32))
+            # d_uni[c] = sum_{b,t} amp[t,c] * rd[t], accumulated across the
+            # WHOLE grid (both dimensions) in a scratch, flushed at the end
+            duni_i = _dot(rd_row.astype(mxu_dtype), amp, ((1,), (0,)),
+                          precision)  # (1, C)
+            # batch-padding rows (i >= B in the last block) hold garbage;
+            # per-row OUTPUTS are dropped on store, but this accumulator
+            # crosses rows, so the garbage must be masked out explicitly
+            bvalid = ib * bblk + i < Btotal
+            duni_i = jnp.where(bvalid, duni_i, 0.0)
+            if i == 0:  # reset the accumulator on the first grid step
+                prev_u = jnp.where((it > 0) | (ib > 0), duni_acc[0:1], 0.0)
+            else:
+                prev_u = duni_acc[0:1]
+            duni_acc[0:1] = prev_u + duni_i
 
         @pl.when(it < nt_am)
         def _():
@@ -199,6 +259,12 @@ def _build_bwd_kernel(
         @pl.when(it == nt - 1)
         def _():
             dlm_ref[i] = dlm_acc[i].astype(dlm_ref.dtype)
+
+    if parts:
+
+        @pl.when((it == nt - 1) & (ib == nb - 1))
+        def _():
+            duni_ref[...] = duni_acc[0:1].astype(duni_ref.dtype)
 
 
 def _shape_params(B: int, T: int, modified: bool):
@@ -258,7 +324,7 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
-        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype,
+        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, parts=False,
     )
     clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
     px_rows, py_rows = pl.pallas_call(
@@ -312,6 +378,7 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
         bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
+        parts=False,
     )
     clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
     d_am, d_lm = pl.pallas_call(
@@ -403,3 +470,254 @@ def lattice_rows_fused(
         lm, am, symbols, te_fix, matmul_precision(), int(termination_symbol),
         modified, out_dtype, bool(interpret),
     )
+
+
+# --- smoothed-lattice variant -------------------------------------------------
+#
+# The smoothed build (reference rnnt_loss.py:1132-1367) interpolates the
+# combined, lm-only and am-only lattices.  Everything lm-side is tiny; the
+# only am-heavy extra is the am-only normalizer log(sum_c unigram_c *
+# am_probs[t, c]).  The kernels above compute it as a third output
+# ``normd = norm - amonly`` (the exact difference the interpolation needs;
+# the am_max shifts cancel) for one extra matvec on the resident tile, and
+# the interpolation itself is cheap XLA arithmetic over (S, B, T) arrays.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _build_parts(lm, am, symbols, te_fix, uni, precision, blank, modified,
+                 interpret):
+    return _build_parts_fwd(
+        lm, am, symbols, te_fix, uni, precision, blank, modified, interpret
+    )[0]
+
+
+def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
+                     modified, interpret):
+    B, T, C = am.shape
+    S1 = lm.shape[1]
+    S = S1 - 1
+    wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
+    lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, blank)
+    mxu_dtype = _mxu_dtype(am.dtype)
+    lmp = lmp.astype(mxu_dtype)
+    uni_row = uni.reshape(1, C).astype(mxu_dtype)
+    sym_t = symbols.astype(jnp.int32).T
+    te = te_fix.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(
+        _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
+        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, parts=True,
+    )
+    clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
+    px_rows, py_rows, nd_rows = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),  # lmp
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # lmmax
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # pxlm
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # pylm
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # sym
+            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),  # te
+            pl.BlockSpec((1, C), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),  # uni
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),  # am
+        ],
+        out_specs=[
+            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B, wpx), jnp.float32),
+            jax.ShapeDtypeStruct((S1, B, T), jnp.float32),
+            jax.ShapeDtypeStruct((S1, B, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, uni_row, am)
+    return (px_rows, py_rows, nd_rows), (lm, am, symbols, te_fix, uni)
+
+
+def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
+    lm, am, symbols, te_fix, uni = res
+    dpx, dpy, dnd = cots
+    B, T, C = am.shape
+    S1 = lm.shape[1]
+    S = S1 - 1
+    wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
+    lmmax_t, lmp, _, _ = _lm_parts(lm, symbols, blank)
+    mxu_dtype = _mxu_dtype(am.dtype)
+    lmp = lmp.astype(mxu_dtype)
+    uni_row = uni.reshape(1, C).astype(mxu_dtype)
+    sym_t = symbols.astype(jnp.int32).T
+    te = te_fix.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(
+        _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
+        bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
+        parts=True, Btotal=B,
+    )
+    clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
+    d_am, d_lm, d_uni = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),  # lmp
+            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # lmmax
+            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
+                         memory_space=pltpu.VMEM),  # sym
+            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),  # te
+            pl.BlockSpec((1, C), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),  # uni
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),  # am
+            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                         memory_space=pltpu.VMEM),  # dpx
+            pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
+                         memory_space=pltpu.VMEM),  # dpy
+            pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
+                         memory_space=pltpu.VMEM),  # dnd
+        ],
+        out_specs=[
+            pl.BlockSpec((bblk, LANE, C),
+                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), am.dtype),
+            jax.ShapeDtypeStruct((B, S1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bblk, S1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lmp, lmmax_t, sym_t, te, uni_row, am, dpx, dpy, dnd)
+
+    return (
+        d_lm.astype(lm.dtype), d_am,
+        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
+        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
+        d_uni.reshape(uni.shape).astype(uni.dtype),
+    )
+
+
+_build_parts.defvjp(_build_parts_fwd, _build_parts_bwd)
+
+
+def lattice_rows_fused_smoothed(
+    lm: jax.Array,
+    am: jax.Array,
+    symbols: jax.Array,
+    termination_symbol: int,
+    lm_only_scale: float = 0.1,
+    am_only_scale: float = 0.1,
+    boundary: Optional[jax.Array] = None,
+    rnnt_type: str = "regular",
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel equivalent of lattice.get_rnnt_logprobs_smoothed_rows.
+
+    The kernels return (px, py, normd); the unigram-LM statistics and the
+    three-way interpolation are cheap XLA arithmetic (differentiable end
+    to end: the kernels' VJP covers the am-heavy paths including the
+    unigram cotangent, XLA autodiff covers the lm-side plumbing).
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    B, T, C = am.shape
+    S = lm.shape[1] - 1
+    from ..lattice import matmul_precision
+
+    if rnnt_type == "constrained":
+        px, py = lattice_rows_fused_smoothed(
+            lm, am, symbols, termination_symbol, lm_only_scale,
+            am_only_scale, None, "modified", interpret,
+        )
+        return px + py[1:], py
+
+    modified = rnnt_type == "modified"
+    if not modified and boundary is not None:
+        te_fix = boundary[:, 3].astype(jnp.int32)
+    else:
+        te_fix = jnp.full((B,), -1, jnp.int32)
+
+    blank = int(termination_symbol)
+    lm32 = lm.astype(jnp.float32)
+    lmmax = jax.lax.stop_gradient(jnp.max(lm32, axis=2))  # (B, S1)
+    lmp = jnp.exp(lm32 - lmmax[:, :, None])
+    lmsum = jnp.sum(lmp, axis=2)  # (B, S1)
+    # unigram LM: mean of normalized lm probs over (B, S+1), padding
+    # included — matching the reference exactly (rnnt_loss.py:1279-1280)
+    uni = jnp.mean(lmp / lmsum[:, :, None], axis=(0, 1)) + _TINY  # (C,)
+    uni_log = jnp.log(uni)
+
+    px, py, normd = _build_parts(
+        lm, am, symbols, te_fix, uni, matmul_precision(), blank, modified,
+        bool(interpret),
+    )
+
+    # per-(b, s) columns, s-major (S?, B, 1)
+    oh = (
+        symbols.astype(jnp.int32)[:, :, None]
+        == jnp.arange(C, dtype=jnp.int32)
+    )
+    pxlm = jnp.sum(lm32[:, :S, :] * oh, axis=2).T[:, :, None]  # (S, B, 1)
+    pylm = lm32[:, :, blank].T[:, :, None]  # (S1, B, 1)
+    lmonly = (jnp.log(lmsum) + lmmax).T[:, :, None]  # (S1, B, 1)
+    px_uni = jnp.sum(uni_log[None, None, :] * oh, axis=2).T[:, :, None]
+    py_uni = uni_log[blank]
+
+    c = 1.0 - lm_only_scale - am_only_scale
+    l, a = lm_only_scale, am_only_scale
+    # avoid 0 * -inf = NaN when any scale is exactly zero (same floor as
+    # the reference, rnnt_loss.py:1344-1349)
+    c = 1.0e-20 if c == 0.0 else c
+    l = 1.0e-20 if l == 0.0 else l
+    a = 1.0e-20 if a == 0.0 else a
+
+    # px_amonly = px + normd + px_uni - pxlm ; px_lmonly = pxlm - lmonly
+    nd_px = normd[:S]
+    if not modified:  # the t = T pad column: norm and amonly are both 0
+        nd_px = jnp.concatenate(
+            [nd_px, jnp.zeros((S, B, 1), nd_px.dtype)], axis=2
+        )
+    px_i = (
+        (c + a) * px
+        + l * (pxlm - lmonly[:S])
+        + a * (nd_px + px_uni - pxlm)
+    )
+    py_i = (c + a) * py + l * (pylm - lmonly) + a * (normd + py_uni - pylm)
+    if not modified:
+        # re-kill the -inf columns AFTER the interpolation so that no
+        # cotangent flows through ANY term there.  Values are unchanged
+        # (px is already -inf); this pins the gradient contract "killed
+        # columns flow nothing", which is also what every real consumer
+        # sees (occupancy gradients are exactly 0 on -inf arcs).  The XLA
+        # smoothed build leaks some -inf-column cotangent into the lm
+        # paths — an autodiff artifact of adding finite terms to -inf
+        # constants, unobservable with real cotangents.
+        t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T + 1), 2)
+        kill = (t == T) | (t == te_fix[None, :, None])
+        px_i = jnp.where(kill, NEG_INF, px_i)
+    return px_i, py_i

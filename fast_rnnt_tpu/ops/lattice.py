@@ -579,10 +579,24 @@ def get_rnnt_logprobs_smoothed_rows(
     rnnt_type: str = "regular",
 ) -> Tuple[jax.Array, jax.Array]:
     """s-major variant of :func:`get_rnnt_logprobs_smoothed` (same math,
-    (S, B, T)-major outputs feeding the rows recursion directly)."""
+    (S, B, T)-major outputs feeding the rows recursion directly).
+
+    On TPU backends this dispatches to the fused Pallas build
+    (ops/kernels/latbuild.py::lattice_rows_fused_smoothed): the am-heavy
+    passes (softmax statistics, both normalizer matmuls, the gathers) run
+    in one pass over ``am``; only the tiny lm-side statistics and the
+    three-way interpolation stay in XLA.
+    """
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
+    if _use_fused_build(lm, am, symbols):
+        from .kernels.latbuild import lattice_rows_fused_smoothed
+
+        return lattice_rows_fused_smoothed(
+            lm, am, symbols, termination_symbol, lm_only_scale,
+            am_only_scale, boundary, rnnt_type,
+        )
 
     am_max = jax.lax.stop_gradient(jnp.max(am, axis=2, keepdims=True))
     lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=2, keepdims=True))

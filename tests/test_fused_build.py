@@ -140,6 +140,118 @@ def test_fused_build_bf16_mode():
     assert np.isfinite(np.asarray(gam, dtype=np.float32)).all()
 
 
+def _xla_smoothed(lm, am, symbols, rnnt_type, boundary, lms, ams):
+    old = lattice._LATTICE_BUILD_IMPL
+    lattice.set_lattice_build_impl("xla")
+    try:
+        return lattice.get_rnnt_logprobs_smoothed_rows(
+            lm, am, symbols, 0, lms, ams, boundary, rnnt_type
+        )
+    finally:
+        lattice.set_lattice_build_impl(old)
+
+
+@pytest.mark.parametrize("scales", [(0.1, 0.1), (0.25, 0.0), (0.0, 0.3)])
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified", "constrained"])
+def test_fused_smoothed_matches_xla(rnnt_type, scales):
+    from fast_rnnt_tpu.ops.kernels.latbuild import lattice_rows_fused_smoothed
+
+    lms, ams = scales
+    rng = np.random.default_rng(5)
+    B, T, S, C = 3, 140, 5, 37
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+
+    px_ref, py_ref = _xla_smoothed(lm, am, symbols, rnnt_type, boundary, lms, ams)
+    px, py = lattice_rows_fused_smoothed(
+        lm, am, symbols, 0, lms, ams, boundary, rnnt_type, interpret=True
+    )
+    np.testing.assert_allclose(px, px_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(py, py_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_smoothed_gradients_match_xla():
+    """Covers the unigram-LM global coupling: d_lm flows through the
+    batch-global mean via the kernel's d_uni accumulator.
+
+    Cotangents are zeroed on the -inf px positions (the pad column and
+    fix_for_boundary's te column) — the gradient contract both builds
+    share for every REAL consumer (occupancy gradients are exactly 0 on
+    -inf arcs).  With nonzero cotangents there the XLA build leaks an
+    autodiff artifact (finite + -inf constant still propagates the
+    cotangent into the finite term) that the fused build deliberately
+    does not reproduce."""
+    from fast_rnnt_tpu.ops.kernels.latbuild import lattice_rows_fused_smoothed
+
+    rng = np.random.default_rng(6)
+    B, T, S, C = 3, 70, 6, 25
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    px_ref, py_ref = _xla_smoothed(lm, am, symbols, "regular", boundary, 0.2, 0.1)
+    cpx = jnp.asarray(rng.normal(size=px_ref.shape).astype(np.float32))
+    cpy = jnp.asarray(rng.normal(size=py_ref.shape).astype(np.float32))
+    cpx = jnp.where(jnp.isneginf(px_ref), 0.0, cpx)
+
+    def scalar(build):
+        def f(lm_, am_):
+            px, py = build(lm_, am_)
+            return jnp.sum(px * cpx) + jnp.sum(py * cpy)
+
+        return jax.grad(f, argnums=(0, 1))(lm, am)
+
+    g_ref = scalar(
+        lambda l, a: _xla_smoothed(l, a, symbols, "regular", boundary, 0.2, 0.1)
+    )
+    g_fused = scalar(
+        lambda l, a: lattice_rows_fused_smoothed(
+            l, a, symbols, 0, 0.2, 0.1, boundary, "regular", interpret=True
+        )
+    )
+
+    def serr(x, y):
+        return np.max(np.abs(np.asarray(x) - np.asarray(y))) / max(
+            np.max(np.abs(np.asarray(y))), 1e-6
+        )
+
+    assert serr(g_fused[0], g_ref[0]) < 1e-4, "lm grads differ"
+    assert serr(g_fused[1], g_ref[1]) < 1e-4, "am grads differ"
+
+
+def test_fused_smoothed_losses_path():
+    """rnnt_loss_smoothed_pruned with the fused smoothed build must match
+    the XLA-build pipeline (values + grads)."""
+    from fast_rnnt_tpu import rnnt_loss_smoothed_pruned
+
+    rng = np.random.default_rng(7)
+    B, T, S, C = 3, 80, 6, 30
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+
+    def pipeline(lm_, am_):
+        sm, pr, _ = rnnt_loss_smoothed_pruned(
+            lm_, am_, symbols, 0, 3, 0.2, 0.1, boundary, reduction="sum",
+            impl="pallas",
+        )
+        return sm + pr
+
+    lattice.set_lattice_build_impl("xla")
+    try:
+        ref, gref = jax.value_and_grad(pipeline, argnums=(0, 1))(lm, am)
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    lattice.set_lattice_build_impl("fused")
+    try:
+        out, gout = jax.value_and_grad(pipeline, argnums=(0, 1))(lm, am)
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def serr(x, y):
+        return np.max(np.abs(np.asarray(x) - np.asarray(y))) / max(
+            np.max(np.abs(np.asarray(y))), 1e-6
+        )
+
+    assert serr(gout[0], gref[0]) < 1e-4
+    assert serr(gout[1], gref[1]) < 1e-4
+
+
 def test_fused_build_out_dtype_and_losses_path():
     """The fused build slots into the fused pipeline: forcing impl="fused"
     must reproduce the XLA-build pipeline's losses and gradients."""
