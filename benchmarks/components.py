@@ -92,6 +92,28 @@ def main():
 
     report("lattice_build_rows_fwd", build, am, lm)
 
+    # A/B the build implementations (round 3): einsum vs fused kernel,
+    # forward and forward+VJP (clean cotangents: zero on -inf positions)
+    def build_vjp(am, lm):
+        def f(a, l):
+            px, py = lattice.get_rnnt_logprobs_rows(
+                l, a, symbols, 0, "regular", boundary
+            )
+            return (
+                jnp.sum(jnp.where(jnp.isinf(px), 0.0, px))
+                + jnp.sum(jnp.where(jnp.isinf(py), 0.0, py))
+            )
+
+        return jax.value_and_grad(f, argnums=(0, 1))(am, lm)
+
+    for impl_name in ("xla", "fused"):
+        try:
+            lattice.set_lattice_build_impl(impl_name)
+            report(f"lattice_build_rows_fwd[{impl_name}]", build, am, lm)
+            report(f"lattice_build_rows_vjp[{impl_name}]", build_vjp, am, lm)
+        finally:
+            lattice.set_lattice_build_impl("auto")
+
     px_rows, py_rows = build(am, lm)
     px_rows = jax.block_until_ready(px_rows)
 

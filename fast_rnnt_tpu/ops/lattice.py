@@ -179,6 +179,14 @@ def get_rnnt_logprobs(
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
+    if _use_fused_build(lm, am, symbols):
+        # one transposition pass beats the einsum build's exp round trip
+        from .kernels.latbuild import lattice_rows_fused
+
+        px_rows, py_rows = lattice_rows_fused(
+            lm, am, symbols, termination_symbol, rnnt_type, boundary
+        )
+        return jnp.moveaxis(px_rows, 0, 1), jnp.moveaxis(py_rows, 0, 1)
 
     # stability shifts only: the normalizer is shift-invariant, so their
     # gradient contributions cancel exactly — stop_gradient skips the

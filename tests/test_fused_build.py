@@ -140,6 +140,29 @@ def test_fused_build_bf16_mode():
     assert np.isfinite(np.asarray(gam, dtype=np.float32)).all()
 
 
+@pytest.mark.parametrize("rnnt_type", ["regular", "modified"])
+def test_fused_build_bmajor_dispatch(rnnt_type):
+    """get_rnnt_logprobs (B-major) dispatches to the fused build + a
+    transpose; values must match the einsum build."""
+    rng = np.random.default_rng(8)
+    B, T, S, C = 3, 70, 5, 21
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    lattice.set_lattice_build_impl("xla")
+    try:
+        px_ref, py_ref = lattice.get_rnnt_logprobs(
+            lm, am, symbols, 0, rnnt_type, boundary
+        )
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    lattice.set_lattice_build_impl("fused")
+    try:
+        px, py = lattice.get_rnnt_logprobs(lm, am, symbols, 0, rnnt_type, boundary)
+    finally:
+        lattice.set_lattice_build_impl("auto")
+    np.testing.assert_allclose(px, px_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(py, py_ref, rtol=1e-5, atol=1e-5)
+
+
 def _xla_smoothed(lm, am, symbols, rnnt_type, boundary, lms, ams):
     old = lattice._LATTICE_BUILD_IMPL
     lattice.set_lattice_build_impl("xla")
