@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..numerics import NEG_INF
+from .wavefront import _out_struct
 
 __all__ = ["lattice_rows_fused"]
 
@@ -123,12 +124,10 @@ def _build_fwd_kernel(
         py_ref[:, i, :] = py.astype(py_ref.dtype)
 
         if parts:
-            # normd[s, t] = norm[s, t] - amonly[t]: the am_max and the
-            # +_TINY-free log both cancel exactly in the difference the
-            # smoothed interpolation needs, so the whole am-only
-            # normalizer reduces to one extra matvec on the resident tile
-            # (the am_max shift cancels exactly in this difference, which
-            # is the only form the smoothed interpolation needs)
+            # normd[s, t] = norm[s, t] - amonly[t] — the only form the
+            # smoothed interpolation needs; the am_max shifts cancel
+            # exactly in the difference, so the whole am-only normalizer
+            # reduces to one extra matvec on the resident tile
             duni = _dot(uni_ref[...], amp, ((1,), (1,)), precision)  # (1, LANE)
             nd_ref[:, i, :] = (lognorm - jnp.log(duni)).astype(nd_ref.dtype)
 
@@ -354,8 +353,8 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, B, wpx), out_dtype),
-            jax.ShapeDtypeStruct((S1, B, T), out_dtype),
+            _out_struct((S, B, wpx), out_dtype, lm, am),
+            _out_struct((S1, B, T), out_dtype, lm, am),
         ],
         interpret=interpret,
     )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, am)
@@ -409,8 +408,8 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, C), am.dtype),
-            jax.ShapeDtypeStruct((B, S1, C), jnp.float32),
+            _out_struct((B, T, C), am.dtype, lm, am, dpx, dpy),
+            _out_struct((B, S1, C), jnp.float32, lm, am, dpx, dpy),
         ],
         scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
         interpret=interpret,
@@ -540,9 +539,9 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, B, wpx), jnp.float32),
-            jax.ShapeDtypeStruct((S1, B, T), jnp.float32),
-            jax.ShapeDtypeStruct((S1, B, T), jnp.float32),
+            _out_struct((S, B, wpx), jnp.float32, lm, am, uni),
+            _out_struct((S1, B, T), jnp.float32, lm, am, uni),
+            _out_struct((S1, B, T), jnp.float32, lm, am, uni),
         ],
         interpret=interpret,
     )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, uni_row, am)
@@ -603,9 +602,9 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, C), am.dtype),
-            jax.ShapeDtypeStruct((B, S1, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            _out_struct((B, T, C), am.dtype, lm, am, dpx, dpy, dnd),
+            _out_struct((B, S1, C), jnp.float32, lm, am, dpx, dpy, dnd),
+            _out_struct((1, C), jnp.float32, lm, am, dpx, dpy, dnd),
         ],
         scratch_shapes=[
             pltpu.VMEM((bblk, S1, C), jnp.float32),

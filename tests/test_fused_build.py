@@ -275,6 +275,81 @@ def test_fused_smoothed_losses_path():
     assert serr(gout[1], gref[1]) < 1e-4
 
 
+def test_fused_build_under_shard_map():
+    """The fused build composes with shard_map: sharded values and
+    gradients equal single-device.  check_vma=False here because the
+    interpret-mode pallas lowering cannot thread varying-mesh-axes
+    through its per-block dynamic_slice fetches (a jax hlo_interpreter
+    limitation — its own error message prescribes this flag); the
+    compiled TPU path carries vma at the pallas-call level via
+    _out_struct, same as the wavefront kernels."""
+    from jax.sharding import PartitionSpec as P
+    from fast_rnnt_tpu.parallel import make_mesh, shard_batch
+    import fast_rnnt_tpu as frt
+
+    rng = np.random.default_rng(11)
+    B, T, S, C = 8, 40, 4, 16
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    mesh = make_mesh()
+
+    def local_loss(lm, am, symbols, boundary):
+        s, p, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum", impl="pallas"
+        )
+        return jax.lax.psum(s + p, "data")
+
+    lattice.set_lattice_build_impl("fused")
+    try:
+        mapped = jax.jit(
+            jax.shard_map(
+                local_loss,
+                mesh=mesh,
+                in_specs=(P("data"),) * 4,
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        args = shard_batch((lm, am, symbols, boundary), mesh)
+        out = float(mapped(*args))
+        s_ref, p_ref, _ = frt.rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 3, boundary, reduction="sum", impl="pallas"
+        )
+        np.testing.assert_allclose(out, float(s_ref + p_ref), rtol=1e-4)
+
+        # gradients survive the sharded VJP (the fused backward kernel):
+        # differentiate THROUGH the shard_map (grad inside a
+        # check_vma=False shard_map mistransposes the psum — a known
+        # footgun unrelated to the kernels)
+        g = jax.jit(
+            jax.grad(
+                lambda lm_, am_: jax.shard_map(
+                    local_loss,
+                    mesh=mesh,
+                    in_specs=(P("data"),) * 4,
+                    out_specs=P(),
+                    check_vma=False,
+                )(lm_, am_, args[2], args[3]),
+                argnums=(0, 1),
+            )
+        )(args[0], args[1])
+        def ref_loss(lm_, am_):
+            s, p, _ = frt.rnnt_loss_simple_pruned(
+                lm_, am_, symbols, 0, 3, boundary, reduction="sum",
+                impl="pallas",
+            )
+            return s + p
+
+        g_ref = jax.grad(ref_loss, argnums=(0, 1))(lm, am)
+        np.testing.assert_allclose(
+            np.asarray(g[0]), np.asarray(g_ref[0]), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g[1]), np.asarray(g_ref[1]), rtol=1e-3, atol=1e-4
+        )
+    finally:
+        lattice.set_lattice_build_impl("auto")
+
+
 def test_fused_build_out_dtype_and_losses_path():
     """The fused build slots into the fused pipeline: forcing impl="fused"
     must reproduce the XLA-build pipeline's losses and gradients."""
