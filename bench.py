@@ -166,7 +166,7 @@ def main():
         raise SystemExit(f"PARITY GATE FAILED: {parity_failed}")
 
 
-def streaming_bench(chunk=32, batch_sizes=(8, 32)):
+def streaming_bench(chunk=32, batch_sizes=(8, 32, 128)):
     from fast_rnnt_tpu.models import (
         StreamingConfig,
         TransducerConfig,

@@ -73,6 +73,19 @@ def greedy_over_frames(
       hyps / lens: (B, max_len) int32 output buffer and (B,) counts.
 
     Returns the updated (ctx, hyps, lens).
+
+    Scheduling (round 3): ONE while loop whose every trip is exactly one
+    predictor+joiner evaluation per stream; a stream advances its frame
+    pointer on blank / cap / inactivity and emits otherwise.  The naive
+    nested loops (scan over frames x fori over the emission cap) burn
+    ``T_blk * max_symbols_per_frame`` sequential evals even though speech
+    emits blank on most frames; this loop costs
+    ``max over streams of (frames + emissions (+1 per capped frame))``
+    trips — ~3-4x fewer sequential small-matmul launches on a TPU, where
+    these tiny steps are latency-bound.  Emitted sequences are IDENTICAL
+    to the nested loops' (same greedy decisions in the same order; only
+    the scheduling differs) — pinned by the streaming/decoding parity
+    tests.
     """
     cfg: TransducerConfig = model.cfg
     blank = cfg.blank_id
@@ -89,39 +102,47 @@ def greedy_over_frames(
         )
         return lg[:, 0, 0, :]  # (B, C)
 
-    def frame_step(carry, inputs):
-        am_t, active_frame = inputs  # (B, d), (B,)
-        ctx, hyps, lens = carry
+    def cond(carry):
+        t_ptr = carry[0]
+        return jnp.any(t_ptr < T_blk)
 
-        def emit(i, inner):
-            ctx, hyps, lens, emitting = inner
-            lm_rows = _predictor_last(model, params, ctx)
-            logits = join_logits(am_t, lm_rows)
-            sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
-            take = emitting & active_frame & (sym != blank) & (lens < max_len)
-            # append sym where taken
-            onehot_pos = (
-                jax.lax.broadcasted_iota(jnp.int32, hyps.shape, 1) == lens[:, None]
-            )
-            hyps = jnp.where(onehot_pos & take[:, None], sym[:, None], hyps)
-            lens = lens + take.astype(jnp.int32)
-            ctx = jnp.where(
-                take[:, None],
-                jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
-                ctx,
-            )
-            return ctx, hyps, lens, take
+    def trip(carry):
+        t_ptr, emit_cnt, ctx, hyps, lens = carry
+        t_safe = jnp.minimum(t_ptr, T_blk - 1)
+        am_t = jnp.take_along_axis(am, t_safe[:, None, None], axis=1)[:, 0, :]
+        frame_ok = jnp.take_along_axis(
+            frame_active, t_safe[:, None], axis=1
+        )[:, 0]
+        in_block = t_ptr < T_blk
 
-        emitting = jnp.ones((B,), bool)
-        ctx, hyps, lens, _ = jax.lax.fori_loop(
-            0, max_symbols_per_frame, emit, (ctx, hyps, lens, emitting)
+        lm_rows = _predictor_last(model, params, ctx)
+        logits = join_logits(am_t, lm_rows)
+        sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+        take = (
+            in_block
+            & frame_ok
+            & (sym != blank)
+            & (lens < max_len)
+            & (emit_cnt < max_symbols_per_frame)
         )
-        return (ctx, hyps, lens), None
+        onehot_pos = (
+            jax.lax.broadcasted_iota(jnp.int32, hyps.shape, 1) == lens[:, None]
+        )
+        hyps = jnp.where(onehot_pos & take[:, None], sym[:, None], hyps)
+        lens = lens + take.astype(jnp.int32)
+        ctx = jnp.where(
+            take[:, None],
+            jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
+            ctx,
+        )
+        advance = in_block & ~take
+        t_ptr = t_ptr + advance.astype(jnp.int32)
+        emit_cnt = jnp.where(advance, 0, emit_cnt + take.astype(jnp.int32))
+        return t_ptr, emit_cnt, ctx, hyps, lens
 
-    (ctx, hyps, lens), _ = jax.lax.scan(
-        frame_step,
-        (ctx, hyps, lens),
-        (jnp.moveaxis(am, 0, 1), jnp.moveaxis(frame_active, 0, 1)),
+    t0 = jnp.zeros((B,), jnp.int32)
+    _, _, ctx, hyps, lens = jax.lax.while_loop(
+        cond, trip, (t0, jnp.zeros((B,), jnp.int32), ctx, hyps, lens)
     )
     return ctx, hyps, lens
 
