@@ -113,7 +113,7 @@ def _build_fwd_kernel(
             # the appended t = T column is -inf (no symbol on the one-past-
             # the-end frame) and fix_for_boundary's te column likewise;
             # te is -1 when no boundary was given (never matches)
-            kill = (tg == T) | (tg == te_ref[i, 0])
+            kill = (tg == T) | (tg == te_ref[i:i + 1, 0:1])
             px = jnp.where(kill, NEG_INF, px)
 
         # blank column of the shifted am, directly in row orientation
@@ -169,7 +169,9 @@ def _build_bwd_kernel(
         dpy = dpy_ref[:, i, :].astype(jnp.float32)  # (S1, LANE)
         if not modified:
             # cotangents of the constant -inf columns don't flow anywhere
-            dpx = jnp.where((tg == T) | (tg == te_ref[i, 0]), 0.0, dpx)
+            dpx = jnp.where(
+                (tg == T) | (tg == te_ref[i:i + 1, 0:1]), 0.0, dpx
+            )
         dpx = jnp.where(tmask, dpx, 0.0)
         dpy = jnp.where(tmask, dpy, 0.0)
 
