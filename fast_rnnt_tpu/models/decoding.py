@@ -4,10 +4,13 @@ The reference ships no inference at all (loss-only library); this completes
 the model family so the pruned transducer trained with models/training.py
 can actually be used.  TPU-first design decisions:
 
-  * fully batched, static shapes: one `lax.scan` over encoder frames with a
-    bounded emissions-per-frame inner loop — no data-dependent Python
-    control flow, so the whole search jits to a single XLA program and can
-    be `shard_map`-ped over the batch axis like the training step.
+  * fully batched, static shapes: greedy search is one `lax.while_loop`
+    whose every trip is exactly one predictor+joiner evaluation per
+    stream (frame pointers advance on blank/cap — see greedy_over_frames
+    for why this beats a frames x emission-cap nested loop); beam search
+    is one `lax.scan` over frames.  No data-dependent Python control
+    flow, so each search jits to a single XLA program and can be
+    `shard_map`-ped over the batch axis like the training step.
   * the stateless predictor (embedding + causal conv over the last
     `predictor_context` symbols, transducer.py:129-154) means the decode
     state is just a rolling (B, context) symbol buffer — no RNN carry.

@@ -68,6 +68,15 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _default_backend_is_cpu() -> bool:
+    # auto-enables interpret mode when the public "fused" knob is flipped
+    # on a CPU-only process (Mosaic cannot lower there)
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 def _dot(a, b, dims, precision):
     """dot_general with f32 accumulation; operands stay in their dtype so
     bf16 inputs ride the MXU natively while f32 inputs honor the
@@ -116,8 +125,13 @@ def _build_fwd_kernel(
             kill = (tg == T) | (tg == te_ref[i:i + 1, 0:1])
             px = jnp.where(kill, NEG_INF, px)
 
-        # blank column of the shifted am, directly in row orientation
-        blank_row = _dot(blank_oh, ashift, ((1,), (1,)), precision)  # (1, LANE)
+        # blank column of the shifted am, directly in row orientation.
+        # The XLA build takes an EXACT slice here (am[:, :, blank]), so
+        # this one-hot contraction is pinned to HIGHEST (exact for 0/1
+        # matrices) regardless of the matmul_precision knob
+        blank_row = _dot(
+            blank_oh, ashift, ((1,), (1,)), jax.lax.Precision.HIGHEST
+        )  # (1, LANE)
         py = blank_row + pylm_ref[:, i:i + 1] - lognorm
 
         px_ref[:, i, :] = px.astype(px_ref.dtype)
@@ -200,7 +214,12 @@ def _build_bwd_kernel(
         blank_s = jnp.broadcast_to(
             (c_iota == blank).astype(mxu_dtype), (S + 1, C)
         )
-        dam = dam + _dot(dpy.astype(mxu_dtype), blank_s, ((0,), (0,)), precision)
+        # HIGHEST: the XLA build's VJP of the blank slice is an exact
+        # scatter-sum; keep this contraction exact under any knob too
+        dam = dam + _dot(
+            dpy.astype(mxu_dtype), blank_s, ((0,), (0,)),
+            jax.lax.Precision.HIGHEST,
+        )
 
         if parts:
             # am-only normalizer path: amonly[t] = log sum_c uni[c]*amp[t,c]
@@ -446,16 +465,22 @@ def lattice_rows_fused(
     mode) into the kernel's output stores.
     """
     if interpret is None:
-        interpret = _INTERPRET
+        interpret = _INTERPRET or _default_backend_is_cpu()
     B, T, C = am.shape
 
     if rnnt_type == "constrained":
-        # same composition as the XLA path: build "modified", px += py[1:]
+        # same composition AND cast order as the XLA path: build "modified"
+        # in f32, px += py[1:], cast last (casting before the add would
+        # add an extra rounding the einsum build does not have)
         px, py = lattice_rows_fused(
             lm, am, symbols, termination_symbol, "modified", None,
-            out_dtype, interpret,
+            None, interpret,
         )
-        return px + py[1:], py
+        px = px + py[1:]
+        if out_dtype is not None:
+            px = px.astype(out_dtype)
+            py = py.astype(out_dtype)
+        return px, py
 
     modified = rnnt_type == "modified"
     if not modified and boundary is not None:
@@ -645,7 +670,7 @@ def lattice_rows_fused_smoothed(
     unigram cotangent, XLA autodiff covers the lm-side plumbing).
     """
     if interpret is None:
-        interpret = _INTERPRET
+        interpret = _INTERPRET or _default_backend_is_cpu()
     B, T, C = am.shape
     S = lm.shape[1] - 1
     from ..lattice import matmul_precision
@@ -664,6 +689,10 @@ def lattice_rows_fused_smoothed(
         te_fix = jnp.full((B,), -1, jnp.int32)
 
     blank = int(termination_symbol)
+    # NOTE: these lm statistics are recomputed inside _build_parts_fwd too;
+    # both live in the same outer jaxpr so XLA CSEs them.  Only the
+    # backward's recompute is real, and at (B, S1, C) scale recomputing
+    # beats carrying a residual (same bytes either way, no residency).
     lm32 = lm.astype(jnp.float32)
     lmmax = jax.lax.stop_gradient(jnp.max(lm32, axis=2))  # (B, S1)
     lmp = jnp.exp(lm32 - lmmax[:, :, None])

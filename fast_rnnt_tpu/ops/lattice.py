@@ -91,7 +91,10 @@ def set_lattice_build_impl(impl: str) -> None:
     _LATTICE_BUILD_IMPL = impl
 
 
-def _use_fused_build(lm, am, symbols) -> bool:
+def _use_fused_build(lm, am, symbols, impl=None) -> bool:
+    """``impl`` is the caller's per-call recursion impl: an explicit
+    "xla" opts the whole program out of pallas (the documented GSPMD
+    escape hatch, ops/recursion.py), so the build honors it too."""
     if _LATTICE_BUILD_IMPL == "xla":
         return False
     if symbols.shape[1] == 0 or am.shape[1] == 0:
@@ -100,6 +103,8 @@ def _use_fused_build(lm, am, symbols) -> bool:
         return False
     if _LATTICE_BUILD_IMPL == "fused":
         return True
+    if impl == "xla":
+        return False
     from .recursion import _resolve_default
 
     return _resolve_default() == "pallas"
@@ -157,6 +162,7 @@ def get_rnnt_logprobs(
     termination_symbol: int,
     rnnt_type: str = "regular",
     boundary: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reduce the simple (additive-joiner) RNN-T problem to (px, py).
 
@@ -179,7 +185,7 @@ def get_rnnt_logprobs(
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
-    if _use_fused_build(lm, am, symbols):
+    if _use_fused_build(lm, am, symbols, impl):
         # one transposition pass beats the einsum build's exp round trip
         from .kernels.latbuild import lattice_rows_fused
 
@@ -232,6 +238,7 @@ def get_rnnt_logprobs_rows(
     rnnt_type: str = "regular",
     boundary: Optional[jax.Array] = None,
     out_dtype=None,
+    impl: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """s-major variant of :func:`get_rnnt_logprobs`: returns
     ``px_rows`` [S, B, T(+1)] and ``py_rows`` [S+1, B, T].
@@ -251,7 +258,7 @@ def get_rnnt_logprobs_rows(
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
-    if _use_fused_build(lm, am, symbols):
+    if _use_fused_build(lm, am, symbols, impl):
         from .kernels.latbuild import lattice_rows_fused
 
         return lattice_rows_fused(
@@ -585,6 +592,7 @@ def get_rnnt_logprobs_smoothed_rows(
     am_only_scale: float = 0.1,
     boundary: Optional[jax.Array] = None,
     rnnt_type: str = "regular",
+    impl: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """s-major variant of :func:`get_rnnt_logprobs_smoothed` (same math,
     (S, B, T)-major outputs feeding the rows recursion directly).
@@ -598,7 +606,7 @@ def get_rnnt_logprobs_smoothed_rows(
     _check_rnnt_type(rnnt_type)
     B, T, C = am.shape
     S = lm.shape[1] - 1
-    if _use_fused_build(lm, am, symbols):
+    if _use_fused_build(lm, am, symbols, impl):
         from .kernels.latbuild import lattice_rows_fused_smoothed
 
         return lattice_rows_fused_smoothed(

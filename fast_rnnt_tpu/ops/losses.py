@@ -143,6 +143,7 @@ def rnnt_loss_simple(
         termination_symbol=termination_symbol,
         rnnt_type=rnnt_type,
         boundary=boundary,
+        impl=impl,
     )
     px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
     B = am.shape[0]
@@ -382,7 +383,7 @@ def rnnt_loss_pruned_simple(
     )
     px_rows, py_rows = get_rnnt_logprobs_rows(
         lm, am, symbols, termination_symbol, base_type, boundary,
-        out_dtype=_cast,
+        out_dtype=_cast, impl=impl,
     )
     if rnnt_type == "constrained":
         # constrained adds the NEXT row's (band-masked) blank arc to px; the
@@ -446,13 +447,15 @@ def rnnt_loss_simple_pruned(
         # happen AFTER band masking for the pruned stage (matching
         # get_rnnt_logprobs_pruned, rnnt_loss.py:1015-1018)
         px0_rows, py_rows = get_rnnt_logprobs_rows(
-            lm, am, symbols, termination_symbol, "modified", boundary
+            lm, am, symbols, termination_symbol, "modified", boundary,
+            impl=impl,
         )
         px_simple_rows = px0_rows + py_rows[1:]
     else:
         px_simple_rows, py_rows = get_rnnt_logprobs_rows(
             lm, am, symbols, termination_symbol, rnnt_type, boundary,
             out_dtype=lattice_dtype if delay_penalty <= 0.0 else None,
+            impl=impl,
         )
         px0_rows = px_simple_rows
 
@@ -529,7 +532,7 @@ def rnnt_loss_smoothed_pruned(
     px_sm_rows, py_sm_rows = get_rnnt_logprobs_smoothed_rows(
         lm, am, symbols, termination_symbol,
         lm_only_scale=lm_only_scale, am_only_scale=am_only_scale,
-        boundary=boundary, rnnt_type=rnnt_type,
+        boundary=boundary, rnnt_type=rnnt_type, impl=impl,
     )
     px_sm_rows = _apply_delay_penalty_rows(
         px_sm_rows, boundary, rnnt_type, delay_penalty
@@ -558,7 +561,7 @@ def rnnt_loss_smoothed_pruned(
     )
     px_rows, py_rows = get_rnnt_logprobs_rows(
         lm, am, symbols, termination_symbol, base_type, boundary,
-        out_dtype=_cast,
+        out_dtype=_cast, impl=impl,
     )
     if rnnt_type == "constrained":
         py_banded = band_mask_rows_smajor(py_rows, lo, K)
@@ -609,6 +612,7 @@ def rnnt_loss_smoothed(
         am_only_scale=am_only_scale,
         boundary=boundary,
         rnnt_type=rnnt_type,
+        impl=impl,
     )
     px_rows = _apply_delay_penalty_rows(px_rows, boundary, rnnt_type, delay_penalty)
     bnd = _normalize_boundary(boundary, am.shape[0], symbols.shape[1], am.shape[1])
