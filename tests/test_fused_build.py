@@ -378,3 +378,75 @@ def test_fused_build_out_dtype_and_losses_path():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(gout[0], gref[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(gout[1], gref[1], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_build_nonzero_blank_matches_xla():
+    """termination_symbol != 0: the kernel's blank column reads and the
+    lm/am blank gathers must follow the id (ref rnnt_loss.py passes
+    termination_symbol through to the [..., blank] gathers)."""
+    rng = np.random.default_rng(11)
+    B, T, S, C = 3, 96, 5, 33
+    blank = 7
+    lm, am, _, boundary = _inputs(rng, B, T, S, C)
+    # symbols anywhere in the vocab except the blank id
+    symbols = rng.integers(0, C - 1, size=(B, S)).astype(np.int32)
+    symbols = jnp.asarray(np.where(symbols >= blank, symbols + 1, symbols))
+
+    for rnnt_type in ("regular", "modified"):
+        old = lattice._LATTICE_BUILD_IMPL
+        lattice.set_lattice_build_impl("xla")
+        try:
+            px_ref, py_ref = lattice.get_rnnt_logprobs_rows(
+                lm, am, symbols, blank, rnnt_type, boundary
+            )
+        finally:
+            lattice.set_lattice_build_impl(old)
+        px, py = lattice_rows_fused(
+            lm, am, symbols, blank, rnnt_type, boundary, interpret=True
+        )
+        np.testing.assert_allclose(px, px_ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(py, py_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("build_impl", ["xla", "fused"])
+def test_nonzero_blank_relabel_invariance(build_impl):
+    """Relabeling the vocabulary (swap ids 0 <-> k everywhere: logits
+    columns, symbols, blank id) must leave loss and gradients unchanged —
+    pins the build's blank handling against itself rather than against
+    another implementation."""
+    from fast_rnnt_tpu import rnnt_loss_simple
+
+    rng = np.random.default_rng(12)
+    B, T, S, C = 2, 72, 5, 21
+    k = 9
+    lm, am, _, boundary = _inputs(rng, B, T, S, C)
+    symbols_np = rng.integers(1, C, size=(B, S)).astype(np.int32)
+    symbols = jnp.asarray(symbols_np)
+
+    swap = np.arange(C)
+    swap[0], swap[k] = k, 0
+    lm2 = lm[:, :, swap]
+    am2 = am[:, :, swap]
+    symbols2 = jnp.asarray(swap[symbols_np].astype(np.int32))
+
+    def loss(lm_, am_, sym, blank):
+        return rnnt_loss_simple(
+            lm_, am_, sym, blank, boundary, reduction="sum",
+            impl="pallas" if build_impl == "fused" else "xla",
+        )
+
+    old = lattice._LATTICE_BUILD_IMPL
+    lattice.set_lattice_build_impl(build_impl)
+    try:
+        ref, (glm, gam) = jax.value_and_grad(loss, argnums=(0, 1))(
+            lm, am, symbols, 0
+        )
+        out, (glm2, gam2) = jax.value_and_grad(loss, argnums=(0, 1))(
+            lm2, am2, symbols2, k
+        )
+    finally:
+        lattice.set_lattice_build_impl(old)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # gradients relabel with the same permutation
+    np.testing.assert_allclose(glm2, glm[:, :, swap], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gam2, gam[:, :, swap], rtol=1e-4, atol=1e-6)
