@@ -68,6 +68,42 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pad_lane(x: jax.Array) -> jax.Array:
+    """Zero-pad the last axis to a multiple of LANE.
+
+    The per-(s, b) side inputs put batch on the LANE axis; Mosaic only
+    accepts lane block dims that are multiples of 128 (or the full array
+    dim), so they ship in 128-wide lane blocks and the kernel picks the
+    live column with an exact one-hot matvec (``_extract_col``).  Padded
+    columns are zeros and only ever feed batch rows whose outputs pallas
+    drops on store."""
+    b = x.shape[-1]
+    pad = _cdiv(b, LANE) * LANE - b
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def _side_spec(nrows: int, bblk: int) -> pl.BlockSpec:
+    """(nrows, LANE) lane-block over a (nrows, B_pad) side array; all
+    bblk batch rows of grid step ib live in one lane block (bblk | LANE)."""
+    return pl.BlockSpec(
+        (nrows, LANE), lambda ib, it: (0, (ib * bblk) // LANE),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _extract_col(side_ref, sel):
+    """Column ib*bblk+i of a side array as an (nrows, 1) f32 vector: an
+    exact one-hot contraction (f32 HIGHEST; products with 0/1 are exact)
+    — Mosaic-safe where a lane slice at an unaligned offset is not."""
+    return jax.lax.dot_general(
+        side_ref[...], sel, dimension_numbers=((((1,), (0,)), ((), ()))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _default_backend_is_cpu() -> bool:
     # auto-enables interpret mode when the public "fused" knob is flipped
     # on a CPU-only process (Mosaic cannot lower there)
@@ -98,12 +134,24 @@ def _build_fwd_kernel(
     else:
         (lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
          px_ref, py_ref) = refs
+    ib = pl.program_id(0)
     it = pl.program_id(1)
     tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    cf = c_iota.astype(jnp.float32)
     blank_oh = (c_iota == blank).astype(mxu_dtype)  # (1, C)
+    # the side inputs ship in 128-lane blocks (batch on lanes); this grid
+    # step's bblk columns all live in the current block at offset lane0
+    lane0 = (ib * bblk) % LANE
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
     for i in range(bblk):
+        sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
+        lmmax_col = _extract_col(lmmax_ref, sel)  # (S1, 1)
+        pxlm_col = _extract_col(pxlm_ref, sel)  # (S, 1)
+        pylm_col = _extract_col(pylm_ref, sel)  # (S1, 1)
+        sym_col = _extract_col(sym_ref, sel)  # (S, 1) f32 ids (< 2^24 exact)
+
         a32 = am_ref[i].astype(jnp.float32)  # (LANE, C)
         amax = jnp.max(a32, axis=1, keepdims=True)  # (LANE, 1)
         ashift = (a32 - amax).astype(mxu_dtype)  # (LANE, C)
@@ -112,17 +160,18 @@ def _build_fwd_kernel(
         d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
         # norm == log(D) + lmmax + amax; the amax term is folded into the
         # shifted am-side gathers below so no per-t row vector is needed
-        lognorm = jnp.log(d) + lmmax_ref[:, i:i + 1]  # (S1, LANE)
+        lognorm = jnp.log(d) + lmmax_col  # (S1, LANE)
 
-        oh = (sym_ref[:, i:i + 1] == c_iota).astype(mxu_dtype)  # (S, C)
+        oh = (sym_col == cf).astype(mxu_dtype)  # (S, C)
         # px_am - amax in one contraction (rows of oh sum to 1)
         px_am = _dot(oh, ashift, ((1,), (1,)), precision)  # (S, LANE)
-        px = px_am + pxlm_ref[:, i:i + 1] - lognorm[:S]
+        px = px_am + pxlm_col - lognorm[:S]
         if not modified:
             # the appended t = T column is -inf (no symbol on the one-past-
             # the-end frame) and fix_for_boundary's te column likewise;
             # te is -1 when no boundary was given (never matches)
-            kill = (tg == T) | (tg == te_ref[i:i + 1, 0:1])
+            te_col = _extract_col(te_ref, sel)  # (1, 1) f32
+            kill = (tg == T) | (tg.astype(jnp.float32) == te_col)
             px = jnp.where(kill, NEG_INF, px)
 
         # blank column of the shifted am, directly in row orientation.
@@ -132,7 +181,7 @@ def _build_fwd_kernel(
         blank_row = _dot(
             blank_oh, ashift, ((1,), (1,)), jax.lax.Precision.HIGHEST
         )  # (1, LANE)
-        py = blank_row + pylm_ref[:, i:i + 1] - lognorm
+        py = blank_row + pylm_col - lognorm
 
         px_ref[:, i, :] = px.astype(px_ref.dtype)
         py_ref[:, i, :] = py.astype(py_ref.dtype)
@@ -152,11 +201,11 @@ def _build_bwd_kernel(
     precision, mxu_dtype, nt_am: int, parts: bool, Btotal: int = 0,
 ):
     if parts:
-        (lmp_ref, lmmax_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
+        (lmp_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
          dpy_ref, dnd_ref, dam_ref, dlm_ref, duni_ref,
          dlm_acc, duni_acc) = refs
     else:
-        (lmp_ref, lmmax_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
+        (lmp_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
          dam_ref, dlm_ref, dlm_acc) = refs
     it = pl.program_id(1)
     ib = pl.program_id(0)
@@ -164,7 +213,10 @@ def _build_bwd_kernel(
     nb = pl.num_programs(0)
     tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    cf = c_iota.astype(jnp.float32)
     tmask = tg < T  # (1, LANE): pallas pads t-edge blocks with garbage
+    lane0 = (ib * bblk) % LANE
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
     # t mask in column orientation for the am tile's rows: padded t rows
     # hold garbage (possibly NaN) and 0 * NaN = NaN inside an MXU
@@ -172,6 +224,8 @@ def _build_bwd_kernel(
     tcol = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
     for i in range(bblk):
+        sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
+        sym_col = _extract_col(sym_ref, sel)  # (S, 1) f32 ids
         a32 = am_ref[i].astype(jnp.float32)
         amax = jnp.max(a32, axis=1, keepdims=True)
         amp32 = jnp.where(tcol < T, jnp.exp(a32 - amax), 0.0)  # (LANE, C) f32
@@ -183,8 +237,9 @@ def _build_bwd_kernel(
         dpy = dpy_ref[:, i, :].astype(jnp.float32)  # (S1, LANE)
         if not modified:
             # cotangents of the constant -inf columns don't flow anywhere
+            te_col = _extract_col(te_ref, sel)  # (1, 1) f32
             dpx = jnp.where(
-                (tg == T) | (tg == te_ref[i:i + 1, 0:1]), 0.0, dpx
+                (tg == T) | (tg.astype(jnp.float32) == te_col), 0.0, dpx
             )
         dpx = jnp.where(tmask, dpx, 0.0)
         dpy = jnp.where(tmask, dpy, 0.0)
@@ -207,7 +262,7 @@ def _build_bwd_kernel(
         #   d_am[t, c] += amp[t, c] * sum_s lmp[s, c] * w[s, t]
         dam = amp32 * _dot(wm, lmp_i, ((0,), (0,)), precision)
         # px one-hot gather path: d_am[t, c] += sum_s oh[s, c] * dpx[s, t]
-        oh = (sym_ref[:, i:i + 1] == c_iota).astype(mxu_dtype)  # (S, C)
+        oh = (sym_col == cf).astype(mxu_dtype)  # (S, C)
         dam = dam + _dot(dpx.astype(mxu_dtype), oh, ((0,), (0,)), precision)
         # py blank-column path: sum_s dpy[s, t] scattered to c == blank,
         # via one contraction (keeps the per-t vector in row orientation)
@@ -298,8 +353,8 @@ def _shape_params(B: int, T: int, modified: bool):
 
 def _lm_parts(lm, symbols, blank):
     """Tiny XLA precomputation shared by fwd and bwd: the lm softmax parts
-    and the per-(b, s) lm gathers, pre-transposed to s-major (so in-kernel
-    per-s column vectors are natural (len, 1) slices, no relayouts)."""
+    and the per-(b, s) lm gathers, pre-transposed to s-major (batch on the
+    lane axis; the kernel extracts per-b columns with ``_extract_col``)."""
     lm32 = lm.astype(jnp.float32)
     lmmax = jax.lax.stop_gradient(jnp.max(lm32, axis=2))  # (B, S1)
     lmp = jnp.exp(lm32 - lmmax[:, :, None])  # (B, S1, C)
@@ -339,8 +394,13 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
     mxu_dtype = _mxu_dtype(am.dtype)
 
     lmp = lmp.astype(mxu_dtype)
-    sym_t = symbols.astype(jnp.int32).T  # (S, B)
-    te = te_fix.astype(jnp.int32)[:, None]  # (B, 1)
+    # side inputs: batch on lanes, padded to 128-lane blocks, f32 (ids and
+    # frame indices are < 2^24 so the one-hot extraction is exact)
+    lmmax_p = _pad_lane(lmmax_t)
+    pxlm_p = _pad_lane(pxlm_t)
+    pylm_p = _pad_lane(pylm_t)
+    sym_p = _pad_lane(symbols.astype(jnp.float32).T)  # (S, B_pad)
+    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])  # (1, B_pad)
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -353,16 +413,11 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # lmmax (S1, B)
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # pxlm (S, B)
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # pylm (S1, B)
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # sym (S, B)
-            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),  # te
+            _side_spec(S1, bblk),  # lmmax (S1, B_pad)
+            _side_spec(S, bblk),  # pxlm (S, B_pad)
+            _side_spec(S1, bblk),  # pylm (S1, B_pad)
+            _side_spec(S, bblk),  # sym (S, B_pad)
+            _side_spec(1, bblk),  # te (1, B_pad)
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -378,7 +433,7 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
             _out_struct((S1, B, T), out_dtype, lm, am),
         ],
         interpret=interpret,
-    )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, am)
+    )(lmp, lmmax_p, pxlm_p, pylm_p, sym_p, te_row, am)
     return (px_rows, py_rows), (lm, am, symbols, te_fix)
 
 
@@ -389,11 +444,11 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
     S1 = lm.shape[1]
     S = S1 - 1
     wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
-    lmmax_t, lmp, _, _ = _lm_parts(lm, symbols, blank)
+    _, lmp, _, _ = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
-    sym_t = symbols.astype(jnp.int32).T
-    te = te_fix.astype(jnp.int32)[:, None]
+    sym_p = _pad_lane(symbols.astype(jnp.float32).T)  # (S, B_pad)
+    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])  # (1, B_pad)
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -407,12 +462,8 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # lmmax
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # sym
-            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),  # te
+            _side_spec(S, bblk),  # sym (S, B_pad)
+            _side_spec(1, bblk),  # te (1, B_pad)
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -434,7 +485,7 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
         ],
         scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
         interpret=interpret,
-    )(lmp, lmmax_t, sym_t, te, am, dpx, dpy)
+    )(lmp, sym_p, te_row, am, dpx, dpy)
 
     d_lm = d_lm.astype(lm.dtype)
     return (
@@ -527,8 +578,11 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    sym_t = symbols.astype(jnp.int32).T
-    te = te_fix.astype(jnp.int32)[:, None]
+    lmmax_p = _pad_lane(lmmax_t)
+    pxlm_p = _pad_lane(pxlm_t)
+    pylm_p = _pad_lane(pylm_t)
+    sym_p = _pad_lane(symbols.astype(jnp.float32).T)
+    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -541,16 +595,11 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # lmmax
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # pxlm
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # pylm
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # sym
-            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),  # te
+            _side_spec(S1, bblk),  # lmmax (S1, B_pad)
+            _side_spec(S, bblk),  # pxlm (S, B_pad)
+            _side_spec(S1, bblk),  # pylm (S1, B_pad)
+            _side_spec(S, bblk),  # sym (S, B_pad)
+            _side_spec(1, bblk),  # te (1, B_pad)
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -571,7 +620,7 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
             _out_struct((S1, B, T), jnp.float32, lm, am, uni),
         ],
         interpret=interpret,
-    )(lmp, lmmax_t, pxlm_t, pylm_t, sym_t, te, uni_row, am)
+    )(lmp, lmmax_p, pxlm_p, pylm_p, sym_p, te_row, uni_row, am)
     return (px_rows, py_rows, nd_rows), (lm, am, symbols, te_fix, uni)
 
 
@@ -582,12 +631,12 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
     S1 = lm.shape[1]
     S = S1 - 1
     wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
-    lmmax_t, lmp, _, _ = _lm_parts(lm, symbols, blank)
+    _, lmp, _, _ = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    sym_t = symbols.astype(jnp.int32).T
-    te = te_fix.astype(jnp.int32)[:, None]
+    sym_p = _pad_lane(symbols.astype(jnp.float32).T)
+    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -601,12 +650,8 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            pl.BlockSpec((S1, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # lmmax
-            pl.BlockSpec((S, bblk), lambda ib, it: (0, ib),
-                         memory_space=pltpu.VMEM),  # sym
-            pl.BlockSpec((bblk, 1), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),  # te
+            _side_spec(S, bblk),  # sym (S, B_pad)
+            _side_spec(1, bblk),  # te (1, B_pad)
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -638,7 +683,7 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
             pltpu.VMEM((1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(lmp, lmmax_t, sym_t, te, uni_row, am, dpx, dpy, dnd)
+    )(lmp, sym_p, te_row, uni_row, am, dpx, dpy, dnd)
 
     return (
         d_lm.astype(lm.dtype), d_am,
