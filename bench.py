@@ -94,7 +94,20 @@ def main():
     # device-side timing loop: one dispatch runs ITERS full steps, so host
     # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —
     # this measures what a saturated input pipeline would see.
-    avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)
+    #
+    # Safety net: the "auto" dispatch rides the fused Pallas lattice-build;
+    # if its Mosaic compile ever fails on a new runtime, fall back to the
+    # XLA einsum build rather than losing the whole bench run — the JSON
+    # then carries build_impl="xla_fallback" so the regression is visible.
+    build_impl = "fused"
+    try:
+        avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)
+    except Exception:
+        from fast_rnnt_tpu.ops import lattice as _lattice
+
+        _lattice.set_lattice_build_impl("xla")
+        build_impl = "xla_fallback"
+        avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)
     avg_us = float(avg_s * 1e6)
 
     # peak HBM from XLA's compiled allocation analysis (exact; the remote
@@ -117,6 +130,7 @@ def main():
         "audio_seconds_per_s": round(audio_seconds / avg_s, 1),
         "device": str(dev),
         "workload": {"B": B, "T": T, "S": S, "C": C, "s_range": S_RANGE},
+        "build_impl": build_impl,
         "parity": parity,
     }
     print(json.dumps(result), flush=True)
