@@ -95,11 +95,18 @@ def main():
     # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —
     # this measures what a saturated input pipeline would see.
     #
-    # Safety net: the "auto" dispatch rides the fused Pallas lattice-build;
-    # if its Mosaic compile ever fails on a new runtime, fall back to the
-    # XLA einsum build rather than losing the whole bench run — the JSON
-    # then carries build_impl="xla_fallback" so the regression is visible.
-    build_impl = "fused"
+    # Safety net: if the auto dispatch's Mosaic compile ever fails on a
+    # new runtime, fall back to the XLA einsum build rather than losing
+    # the whole bench run — the JSON then carries build_impl=
+    # "xla_fallback" so the regression is visible.  At this workload's
+    # B*T the measured-crossover auto dispatch picks the XLA build
+    # (lattice._FUSED_BUILD_MIN_BT; the fused kernels win at larger
+    # B*T), so report what auto actually resolved to.
+    from fast_rnnt_tpu.ops import lattice as _lat
+
+    build_impl = (
+        "fused" if B * T >= _lat._FUSED_BUILD_MIN_BT else "xla_by_crossover"
+    )
     try:
         avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)
     except Exception:

@@ -59,6 +59,25 @@ LANE = 128
 SUBLANE = 8
 _TINY = float(np.finfo(np.float32).tiny)
 
+# Mosaic's default scoped-VMEM budget is 16 MB; at the headline shape
+# (C=500, bblk=8) the fwd kernel's resident set (lmp block + am block +
+# double-buffering) is ~17 MB, so raise the cap.  v5e has 128 MB of VMEM;
+# 64 MB leaves Mosaic room to keep double-buffering every stream.
+_VMEM_BYTES = 64 * 1024 * 1024
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES)
+# the forward kernel is embarrassingly parallel over both grid dims (the
+# py/nd clamp duplicates write identical values, so any order is valid);
+# the backward accumulates d_lm across t blocks and d_uni across the
+# whole grid in VMEM scratch, so its dims stay "arbitrary" (sequential)
+_PARAMS_FWD = pltpu.CompilerParams(
+    vmem_limit_bytes=_VMEM_BYTES,
+    dimension_semantics=("parallel", "parallel"),
+)
+_PARAMS_BWD = pltpu.CompilerParams(
+    vmem_limit_bytes=_VMEM_BYTES,
+    dimension_semantics=("arbitrary", "arbitrary"),
+)
+
 # interpret-mode default for this process (set by kernels.register(...)
 # alongside the wavefront kernels)
 _INTERPRET = False
@@ -116,11 +135,61 @@ def _default_backend_is_cpu() -> bool:
 def _dot(a, b, dims, precision):
     """dot_general with f32 accumulation; operands stay in their dtype so
     bf16 inputs ride the MXU natively while f32 inputs honor the
-    precision knob (same contract as the XLA build's einsums)."""
+    precision knob (same contract as the XLA build's einsums).  Mosaic
+    rejects an explicit contract precision on bf16 operands ("Bad lhs
+    type": bf16 already IS the native one-pass mode), so the knob only
+    applies to f32 operands."""
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        precision = None
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
+
+
+def _dot1(a, b, dims):
+    """Single-pass MXU matmul (DEFAULT precision) with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _msplit(x32, n: int, f32: bool):
+    """bf16 operand parts for a split matmul.
+
+    f32 mode: n-term bf16 decomposition of the f32 array (x == sum(parts)
+    to >= 8*n mantissa bits; n=3 reconstructs full f32 precision, so a
+    split matmul against an EXACT operand — a 0/1 one-hot — reproduces
+    HIGHEST-precision results in n one-MXU-pass matmuls instead of 6).
+    bf16 mode: the plain cast, one part (the XLA build's bf16 numerics
+    class).  On-chip attribution for this trick: benchmarks/
+    latbuild_variants.py."""
+    if not f32:
+        return (x32.astype(jnp.bfloat16),)
+    parts = []
+    r = x32
+    for _ in range(n - 1):
+        p = r.astype(jnp.bfloat16)
+        parts.append(p)
+        r = r - p.astype(jnp.float32)
+    parts.append(r.astype(jnp.bfloat16))
+    return tuple(parts)
+
+
+def _dotn(a_parts, b_parts, dims):
+    """Split matmul: sum of one-pass dots over the leading-order part
+    pairs (i == 0 or j == 0; cross terms of two low parts are below
+    2^-16 relative and dropped).  With a single part on one side this is
+    exact in the other side's parts."""
+    out = None
+    for i, a in enumerate(a_parts):
+        for j, b in enumerate(b_parts):
+            if i and j:
+                continue
+            t = _dot1(a, b, dims)
+            out = t if out is None else out + t
+    return out
 
 
 def _build_fwd_kernel(
@@ -129,58 +198,61 @@ def _build_fwd_kernel(
     precision, mxu_dtype, parts: bool,
 ):
     if parts:
-        (lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, uni_ref,
-         am_ref, px_ref, py_ref, nd_ref) = refs
+        (lmp_ref, side_ref, uni_ref, am_ref, px_ref, py_ref, nd_ref) = refs
     else:
-        (lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
-         px_ref, py_ref) = refs
+        (lmp_ref, side_ref, am_ref, px_ref, py_ref) = refs
+    S1 = S + 1
+    f32 = mxu_dtype != jnp.bfloat16
     ib = pl.program_id(0)
     it = pl.program_id(1)
     tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     cf = c_iota.astype(jnp.float32)
-    blank_oh = (c_iota == blank).astype(mxu_dtype)  # (1, C)
-    # the side inputs ship in 128-lane blocks (batch on lanes); this grid
-    # step's bblk columns all live in the current block at offset lane0
+    blank_oh = (c_iota == blank).astype(jnp.bfloat16)  # (1, C), exact
+    # the side inputs ship STACKED in one (2*S1+2*S+1, B_pad) array with
+    # batch on lanes; one extraction matvec per row recovers all five
+    # per-b vectors at once (the per-input extraction was measured at
+    # ~30% of the whole kernel, benchmarks/latbuild_variants.py)
     lane0 = (ib * bblk) % LANE
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
     for i in range(bblk):
         sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
-        lmmax_col = _extract_col(lmmax_ref, sel)  # (S1, 1)
-        pxlm_col = _extract_col(pxlm_ref, sel)  # (S, 1)
-        pylm_col = _extract_col(pylm_ref, sel)  # (S1, 1)
-        sym_col = _extract_col(sym_ref, sel)  # (S, 1) f32 ids (< 2^24 exact)
+        side = _extract_col(side_ref, sel)  # (2*S1+2*S+1, 1)
+        lmmax_col = side[:S1]
+        pxlm_col = side[S1:S1 + S]
+        pylm_col = side[S1 + S:2 * S1 + S]
+        sym_col = side[2 * S1 + S:2 * S1 + 2 * S]  # f32 ids (< 2^24 exact)
+        te_col = side[2 * S1 + 2 * S:2 * S1 + 2 * S + 1]
 
         a32 = am_ref[i].astype(jnp.float32)  # (LANE, C)
         amax = jnp.max(a32, axis=1, keepdims=True)  # (LANE, 1)
-        ashift = (a32 - amax).astype(mxu_dtype)  # (LANE, C)
-        amp = jnp.exp(a32 - amax).astype(mxu_dtype)
+        ashift = a32 - amax  # (LANE, C) f32
+        ash_parts = _msplit(ashift, 3, f32)  # exact in f32 mode
+        amp = jnp.exp(ashift).astype(mxu_dtype)
         lmp_i = lmp_ref[i]  # (S1, C)
         d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
         # norm == log(D) + lmmax + amax; the amax term is folded into the
         # shifted am-side gathers below so no per-t row vector is needed
         lognorm = jnp.log(d) + lmmax_col  # (S1, LANE)
 
-        oh = (sym_col == cf).astype(mxu_dtype)  # (S, C)
-        # px_am - amax in one contraction (rows of oh sum to 1)
-        px_am = _dot(oh, ashift, ((1,), (1,)), precision)  # (S, LANE)
+        oh = (sym_col == cf).astype(jnp.bfloat16)  # (S, C), exact
+        # px_am - amax: one-hot gather as a split matmul — the one-hot is
+        # exact in bf16 and the 3-term split reconstructs all 24 mantissa
+        # bits, so this matches the old HIGHEST contraction (measured
+        # 9.5e-7 max abs err) at half the MXU passes
+        px_am = _dotn((oh,), ash_parts, ((1,), (1,)))  # (S, LANE)
         px = px_am + pxlm_col - lognorm[:S]
         if not modified:
             # the appended t = T column is -inf (no symbol on the one-past-
             # the-end frame) and fix_for_boundary's te column likewise;
             # te is -1 when no boundary was given (never matches)
-            te_col = _extract_col(te_ref, sel)  # (1, 1) f32
             kill = (tg == T) | (tg.astype(jnp.float32) == te_col)
             px = jnp.where(kill, NEG_INF, px)
 
-        # blank column of the shifted am, directly in row orientation.
-        # The XLA build takes an EXACT slice here (am[:, :, blank]), so
-        # this one-hot contraction is pinned to HIGHEST (exact for 0/1
-        # matrices) regardless of the matmul_precision knob
-        blank_row = _dot(
-            blank_oh, ashift, ((1,), (1,)), jax.lax.Precision.HIGHEST
-        )  # (1, LANE)
+        # blank column of the shifted am (the XLA build takes an exact
+        # slice here) — same exact split contraction, reusing the parts
+        blank_row = _dotn((blank_oh,), ash_parts, ((1,), (1,)))  # (1, LANE)
         py = blank_row + pylm_col - lognorm
 
         px_ref[:, i, :] = px.astype(px_ref.dtype)
@@ -201,12 +273,14 @@ def _build_bwd_kernel(
     precision, mxu_dtype, nt_am: int, parts: bool, Btotal: int = 0,
 ):
     if parts:
-        (lmp_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
+        (lmp_ref, side_ref, uni_ref, am_ref, dpx_ref,
          dpy_ref, dnd_ref, dam_ref, dlm_ref, duni_ref,
          dlm_acc, duni_acc) = refs
     else:
-        (lmp_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
+        (lmp_ref, side_ref, am_ref, dpx_ref, dpy_ref,
          dam_ref, dlm_ref, dlm_acc) = refs
+    S1 = S + 1
+    f32 = mxu_dtype != jnp.bfloat16
     it = pl.program_id(1)
     ib = pl.program_id(0)
     nt = pl.num_programs(1)
@@ -217,6 +291,15 @@ def _build_bwd_kernel(
     tmask = tg < T  # (1, LANE): pallas pads t-edge blocks with garbage
     lane0 = (ib * bblk) % LANE
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    # f32 + HIGHEST: the transpose matvecs below have a 1-sized output
+    # dim (LANE, LANE) @ (1, LANE) — negligible MXU cost, and the f32
+    # path is the one Mosaic lowers cleanly (a bf16 split form trips a
+    # vector.broadcast type-verification error)
+    eye_lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    ).astype(jnp.float32)
+    blank_f32 = (c_iota == blank).astype(jnp.float32)  # (1, C)
 
     # t mask in column orientation for the am tile's rows: padded t rows
     # hold garbage (possibly NaN) and 0 * NaN = NaN inside an MXU
@@ -225,19 +308,25 @@ def _build_bwd_kernel(
 
     for i in range(bblk):
         sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
-        sym_col = _extract_col(sym_ref, sel)  # (S, 1) f32 ids
+        side = _extract_col(side_ref, sel)  # (S + 1, 1)
+        sym_col = side[:S]  # (S, 1) f32 ids
+        te_col = side[S:S + 1]  # (1, 1)
         a32 = am_ref[i].astype(jnp.float32)
         amax = jnp.max(a32, axis=1, keepdims=True)
         amp32 = jnp.where(tcol < T, jnp.exp(a32 - amax), 0.0)  # (LANE, C) f32
         amp = amp32.astype(mxu_dtype)
+        amp_parts = _msplit(amp32, 2, f32)
         lmp_i = lmp_ref[i]  # (S1, C)
-        d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
+        lmp_parts = _msplit(lmp_i.astype(jnp.float32), 2, f32)
+        # normalizer recompute: only ever used as the 1/D gradient weight
+        # below, so a ~2^-16-relative split matmul replaces the forward's
+        # HIGHEST contraction (3 one-pass matmuls instead of 6)
+        d = _dotn(lmp_parts, amp_parts, ((1,), (1,))) + _TINY  # (S1, LANE)
 
         dpx = dpx_ref[:, i, :].astype(jnp.float32)  # (S, LANE)
         dpy = dpy_ref[:, i, :].astype(jnp.float32)  # (S1, LANE)
         if not modified:
             # cotangents of the constant -inf columns don't flow anywhere
-            te_col = _extract_col(te_ref, sel)  # (1, 1) f32
             dpx = jnp.where(
                 (tg == T) | (tg.astype(jnp.float32) == te_col), 0.0, dpx
             )
@@ -255,26 +344,25 @@ def _build_bwd_kernel(
             dnd = jnp.where(tmask, dnd_ref[:, i, :].astype(jnp.float32), 0.0)
             dnorm = dnorm + dnd
         w = jnp.where(tmask, dnorm / d, 0.0)  # (S1, LANE)
-        wm = w.astype(mxu_dtype)
+        w_parts = _msplit(w, 2, f32)
 
         # --- d_am tile (LANE, C) ---------------------------------------
         # normalizer path (exp chain; the maxes are stop-gradient):
         #   d_am[t, c] += amp[t, c] * sum_s lmp[s, c] * w[s, t]
-        dam = amp32 * _dot(wm, lmp_i, ((0,), (0,)), precision)
+        dam = amp32 * _dotn(w_parts, lmp_parts, ((0,), (0,)))
         # px one-hot gather path: d_am[t, c] += sum_s oh[s, c] * dpx[s, t]
-        oh = (sym_col == cf).astype(mxu_dtype)  # (S, C)
-        dam = dam + _dot(dpx.astype(mxu_dtype), oh, ((0,), (0,)), precision)
-        # py blank-column path: sum_s dpy[s, t] scattered to c == blank,
-        # via one contraction (keeps the per-t vector in row orientation)
-        blank_s = jnp.broadcast_to(
-            (c_iota == blank).astype(mxu_dtype), (S + 1, C)
-        )
-        # HIGHEST: the XLA build's VJP of the blank slice is an exact
-        # scatter-sum; keep this contraction exact under any knob too
-        dam = dam + _dot(
-            dpy.astype(mxu_dtype), blank_s, ((0,), (0,)),
-            jax.lax.Precision.HIGHEST,
-        )
+        # — the one-hot is exact in bf16, the 3-term dpx split is exact f32
+        oh = (sym_col == cf).astype(jnp.bfloat16)  # (S, C)
+        dam = dam + _dotn(_msplit(dpx, 3, f32), (oh,), ((0,), (0,)))
+        # py blank-column path: sum_s dpy[s, t] scattered to c == blank.
+        # A sublane-reduction + one tiny eye-transpose matvec replaces the
+        # old full (S1, C) HIGHEST contraction (which was ~20% of this
+        # kernel's MXU passes for a single output column)
+        colsum_row = jnp.sum(dpy, axis=0, keepdims=True)  # (1, LANE)
+        colsum = _dot(
+            eye_lane, colsum_row, ((1,), (1,)), jax.lax.Precision.HIGHEST
+        )  # (LANE, 1), exact
+        dam = dam + colsum * blank_f32
 
         if parts:
             # am-only normalizer path: amonly[t] = log sum_c uni[c]*amp[t,c]
@@ -285,13 +373,10 @@ def _build_bwd_kernel(
             rd_row = jnp.where(
                 tmask, -jnp.sum(dnd, axis=0, keepdims=True) / duni_row, 0.0
             )  # (1, LANE)
-            # row -> column via one identity matmul (no vector relayout)
-            eye = (
-                jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-            ).astype(mxu_dtype)
-            rd_col = _dot(eye, rd_row.astype(mxu_dtype), ((1,), (1,)),
-                          precision)  # (LANE, 1)
+            # row -> column via one identity matvec (no vector relayout)
+            rd_col = _dot(
+                eye_lane, rd_row, ((1,), (1,)), jax.lax.Precision.HIGHEST
+            )  # (LANE, 1)
             dam = dam + amp32 * (rd_col * uni.astype(jnp.float32))
             # d_uni[c] = sum_{b,t} amp[t,c] * rd[t], accumulated across the
             # WHOLE grid (both dimensions) in a scratch, flushed at the end
@@ -313,8 +398,8 @@ def _build_bwd_kernel(
             dam_ref[i] = dam.astype(dam_ref.dtype)
 
         # --- d_lm accumulation (S1, C) over the sequential t blocks ----
-        dlm_i = lmp_i.astype(jnp.float32) * _dot(
-            wm, amp, ((1,), (0,)), precision
+        dlm_i = lmp_i.astype(jnp.float32) * _dotn(
+            w_parts, amp_parts, ((1,), (0,))
         )  # (S1, C): sum_t w[s, t] * amp[t, c]
         # px_lm gather path (rows < S) and py_lm blank path
         dlm_i = dlm_i + jnp.concatenate(
@@ -349,6 +434,26 @@ def _shape_params(B: int, T: int, modified: bool):
     nt = _cdiv(wpx, LANE)
     nt_am = _cdiv(T, LANE)
     return wpx, bblk, nb, nt, nt_am
+
+
+def _stack_side_fwd(lmmax_t, pxlm_t, pylm_t, symbols, te_fix):
+    """Stack the forward kernel's five per-(row, batch) side inputs into
+    one lane-padded f32 array: [lmmax (S1) | pxlm (S) | pylm (S1) |
+    sym (S) | te (1)].  The kernel slices the extracted column at the
+    same static offsets."""
+    te_row = te_fix.astype(jnp.float32)[None, :]
+    return _pad_lane(jnp.concatenate(
+        [lmmax_t, pxlm_t, pylm_t, symbols.astype(jnp.float32).T, te_row],
+        axis=0,
+    ))
+
+
+def _stack_side_bwd(symbols, te_fix):
+    """Backward side stack: [sym (S) | te (1)]."""
+    te_row = te_fix.astype(jnp.float32)[None, :]
+    return _pad_lane(jnp.concatenate(
+        [symbols.astype(jnp.float32).T, te_row], axis=0,
+    ))
 
 
 def _lm_parts(lm, symbols, blank):
@@ -394,13 +499,11 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
     mxu_dtype = _mxu_dtype(am.dtype)
 
     lmp = lmp.astype(mxu_dtype)
-    # side inputs: batch on lanes, padded to 128-lane blocks, f32 (ids and
-    # frame indices are < 2^24 so the one-hot extraction is exact)
-    lmmax_p = _pad_lane(lmmax_t)
-    pxlm_p = _pad_lane(pxlm_t)
-    pylm_p = _pad_lane(pylm_t)
-    sym_p = _pad_lane(symbols.astype(jnp.float32).T)  # (S, B_pad)
-    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])  # (1, B_pad)
+    # side inputs: ONE stacked (2*S1+2*S+1, B_pad) array, batch on lanes,
+    # padded to 128-lane blocks, f32 (ids and frame indices are < 2^24 so
+    # the one-hot extraction is exact); the kernel recovers all five per-b
+    # vectors with a single extraction matvec per row
+    side = _stack_side_fwd(lmmax_t, pxlm_t, pylm_t, symbols, te_fix)
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -413,11 +516,7 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S1, bblk),  # lmmax (S1, B_pad)
-            _side_spec(S, bblk),  # pxlm (S, B_pad)
-            _side_spec(S1, bblk),  # pylm (S1, B_pad)
-            _side_spec(S, bblk),  # sym (S, B_pad)
-            _side_spec(1, bblk),  # te (1, B_pad)
+            _side_spec(side.shape[0], bblk),  # stacked side (nside, B_pad)
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -433,7 +532,8 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
             _out_struct((S1, B, T), out_dtype, lm, am),
         ],
         interpret=interpret,
-    )(lmp, lmmax_p, pxlm_p, pylm_p, sym_p, te_row, am)
+        compiler_params=_PARAMS_FWD,
+    )(lmp, side, am)
     return (px_rows, py_rows), (lm, am, symbols, te_fix)
 
 
@@ -447,8 +547,7 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
     _, lmp, _, _ = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
-    sym_p = _pad_lane(symbols.astype(jnp.float32).T)  # (S, B_pad)
-    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])  # (1, B_pad)
+    side = _stack_side_bwd(symbols, te_fix)
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -462,8 +561,7 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S, bblk),  # sym (S, B_pad)
-            _side_spec(1, bblk),  # te (1, B_pad)
+            _side_spec(S + 1, bblk),  # stacked side [sym | te]
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -485,7 +583,8 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
         ],
         scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
         interpret=interpret,
-    )(lmp, sym_p, te_row, am, dpx, dpy)
+        compiler_params=_PARAMS_BWD,
+    )(lmp, side, am, dpx, dpy)
 
     d_lm = d_lm.astype(lm.dtype)
     return (
@@ -578,11 +677,7 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    lmmax_p = _pad_lane(lmmax_t)
-    pxlm_p = _pad_lane(pxlm_t)
-    pylm_p = _pad_lane(pylm_t)
-    sym_p = _pad_lane(symbols.astype(jnp.float32).T)
-    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])
+    side = _stack_side_fwd(lmmax_t, pxlm_t, pylm_t, symbols, te_fix)
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -595,11 +690,7 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S1, bblk),  # lmmax (S1, B_pad)
-            _side_spec(S, bblk),  # pxlm (S, B_pad)
-            _side_spec(S1, bblk),  # pylm (S1, B_pad)
-            _side_spec(S, bblk),  # sym (S, B_pad)
-            _side_spec(1, bblk),  # te (1, B_pad)
+            _side_spec(side.shape[0], bblk),  # stacked side (nside, B_pad)
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -620,7 +711,8 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
             _out_struct((S1, B, T), jnp.float32, lm, am, uni),
         ],
         interpret=interpret,
-    )(lmp, lmmax_p, pxlm_p, pylm_p, sym_p, te_row, uni_row, am)
+        compiler_params=_PARAMS_FWD,
+    )(lmp, side, uni_row, am)
     return (px_rows, py_rows, nd_rows), (lm, am, symbols, te_fix, uni)
 
 
@@ -635,8 +727,7 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    sym_p = _pad_lane(symbols.astype(jnp.float32).T)
-    te_row = _pad_lane(te_fix.astype(jnp.float32)[None, :])
+    side = _stack_side_bwd(symbols, te_fix)
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -650,8 +741,7 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S, bblk),  # sym (S, B_pad)
-            _side_spec(1, bblk),  # te (1, B_pad)
+            _side_spec(S + 1, bblk),  # stacked side [sym | te]
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -683,7 +773,8 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
             pltpu.VMEM((1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(lmp, sym_p, te_row, uni_row, am, dpx, dpy, dnd)
+        compiler_params=_PARAMS_BWD,
+    )(lmp, side, uni_row, am, dpx, dpy, dnd)
 
     return (
         d_lm.astype(lm.dtype), d_am,

@@ -91,6 +91,17 @@ def set_lattice_build_impl(impl: str) -> None:
     _LATTICE_BUILD_IMPL = impl
 
 
+# "auto" crossover between the fused Pallas build and the XLA einsum
+# build, from the round-3 on-chip A/B (BENCH.md "Fused lattice-build
+# kernels"): the fused kernels win 4-17% end-to-end at B*T >= 64k in
+# both precision modes (B=64/T=1000, B=128, B=8/T=12000, B=30/T=4000)
+# but lose at the small B=30/T=1000 shape (-3% fp32 / -15% bf16), where
+# the XLA build's residual traffic still fits comfortably and the
+# per-row kernel structure doesn't amortize.  Midpoint of the measured
+# bracket [30k, 64k]:
+_FUSED_BUILD_MIN_BT = 48_000
+
+
 def _use_fused_build(lm, am, symbols, impl=None) -> bool:
     """``impl`` is the caller's per-call recursion impl: an explicit
     "xla" opts the whole program out of pallas (the documented GSPMD
@@ -105,6 +116,8 @@ def _use_fused_build(lm, am, symbols, impl=None) -> bool:
         return True
     if impl == "xla":
         return False
+    if am.shape[0] * am.shape[1] < _FUSED_BUILD_MIN_BT:
+        return False  # measured crossover, see _FUSED_BUILD_MIN_BT
     from .recursion import _resolve_default
 
     return _resolve_default() == "pallas"

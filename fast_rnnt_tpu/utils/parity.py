@@ -91,14 +91,21 @@ def onchip_parity_gate(
         g_am, g_lm = vjp((jnp.ones_like(simple), jnp.ones_like(pruned)))
         return simple, pruned, g_am, g_lm
 
-    run = jax.jit(fused, static_argnums=(0, 1))
-    s_d, p_d, ga_d, gl_d = run(None, None, am, lm)
-    # the reference side forces the XLA lattice build too, so the fused
-    # Pallas build (+ its VJP kernel) is checked against a fully
-    # independent compiled path, losses AND gradients
+    # force the FUSED lattice build on the test side (the size-crossover
+    # auto dispatch may resolve small shapes to the XLA build, which
+    # would make this check vacuous), and the XLA build + XLA scan core
+    # on the reference side, so the fused Pallas build (+ its VJP
+    # kernel) is checked against a fully independent compiled path,
+    # losses AND gradients
     from fast_rnnt_tpu.ops import lattice as _lattice
 
+    run = jax.jit(fused, static_argnums=(0, 1))
     _prev_build = _lattice._LATTICE_BUILD_IMPL
+    _lattice.set_lattice_build_impl("fused")
+    try:
+        s_d, p_d, ga_d, gl_d = run(None, None, am, lm)
+    finally:
+        _lattice.set_lattice_build_impl(_prev_build)
     _lattice.set_lattice_build_impl("xla")
     try:
         s_x, p_x, ga_x, gl_x = run("xla", None, am, lm)
