@@ -96,10 +96,10 @@ def window_argmax_rows_pallas(
     S1, B, T = py_grad_rows.shape
     if not 1 <= K <= S1:
         raise ValueError(f"K={K} out of range for S+1={S1}")
-    from .wavefront import _INTERPRET, _out_struct
+    from .wavefront import _interpret_default, _out_struct
 
     if interpret is None:
-        interpret = _INTERPRET
+        interpret = _interpret_default()
 
     W = _ceil_to(T, LANE)
     bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)

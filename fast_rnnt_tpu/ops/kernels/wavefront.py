@@ -59,6 +59,20 @@ SUBLANE = 8
 _INTERPRET = False
 
 
+def _interpret_default() -> bool:
+    """Per-call interpret default: the process flag, OR a live check that
+    the active backend is CPU.  The live check matters when a process
+    initializes on TPU (caching impl="pallas") and is then re-platformed
+    to a virtual-CPU mesh — e.g. the driver's multi-chip dry-run — where
+    a non-interpret pallas_call cannot lower."""
+    if _INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -259,7 +273,7 @@ def forward_rows_pallas(
     T = py_rows.shape[2]
     modified = T1 == T
     if interpret is None:
-        interpret = _INTERPRET
+        interpret = _interpret_default()
 
     if S == 0:
         # empty transcripts: a zero-row px makes the row BlockSpec
@@ -401,7 +415,7 @@ def backward_rows_pallas(
     T = py_rows.shape[2]
     modified = T1 == T
     if interpret is None:
-        interpret = _INTERPRET
+        interpret = _interpret_default()
 
     if S == 0:
         from ..recursion import _backward_rows_xla
@@ -500,17 +514,21 @@ def backward_lattice_pallas(
     return jnp.moveaxis(pxg_rows, 0, 1), jnp.moveaxis(pyg_rows, 0, 1)
 
 
-def register(default: bool = False, interpret: bool = False) -> None:
+def register(default: bool = False, interpret: Optional[bool] = None) -> None:
     """Register the Pallas kernels as the "pallas" implementation of
     mutual_information_recursion (see ops/recursion.py:register_impl).
-    Also sets the process-default interpret mode for the s-major entry
-    points (CPU test environments pass interpret=True)."""
+    ``interpret`` sets the process-default interpret mode for the s-major
+    entry points (CPU test environments pass True); None leaves the
+    current process default untouched — the lazy registration path
+    (recursion._register_pallas_lazy) may run mid-trace AFTER a caller
+    already opted into interpret mode and must not clobber it."""
     global _INTERPRET
-    _INTERPRET = interpret
+    if interpret is not None:
+        _INTERPRET = interpret
     from . import latbuild
     from ..recursion import register_impl
 
-    latbuild._INTERPRET = interpret
-    fwd = functools.partial(forward_lattice_pallas, interpret=interpret)
-    bwd = functools.partial(backward_lattice_pallas, interpret=interpret)
+    latbuild._INTERPRET = _INTERPRET
+    fwd = functools.partial(forward_lattice_pallas, interpret=None)
+    bwd = functools.partial(backward_lattice_pallas, interpret=None)
     register_impl("pallas", fwd, bwd, default=default)
