@@ -39,12 +39,37 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_BIG = 2**30  # plain int: a jnp scalar here would be a captured constant
+
+
+def _shift_left_int(x, d, fill):
+    b, w = x.shape
+    pad = jnp.full((b, d), fill, x.dtype)
+    return jnp.concatenate([x[:, d:], pad], axis=1)
+
+
+def _rev_cummin_lanes(x, valid):
+    """Reverse cummin along the lane axis: out[t] = min(x[t], ..., x[-1]),
+    with invalid (t >= T) lanes treated as +BIG so they never poison the
+    minima.  Kogge-Stone: log2(W) rounds of shift-left + min."""
+    x = jnp.where(valid, x, _BIG)
+    w = x.shape[1]
+    d = 1
+    while d < w:
+        x = jnp.minimum(x, _shift_left_int(x, d, _BIG))
+        d *= 2
+    return x
+
+
 def _kernel(
-    gy_in_ref, gy_out_ref, gx_ref,  # inputs (rows)
-    sbegin_ref,  # output (B, T) int32
-    acc, best, arg,  # scratch
-    *, S1: int, K: int,
+    *refs,
+    S1: int, K: int, T: int, adjust_step: int, fuse_post: bool,
 ):
+    if fuse_post:
+        (gy_in_ref, gy_out_ref, gx_ref, bvec_ref,
+         sbegin_ref, acc, best, arg) = refs
+    else:
+        gy_in_ref, gy_out_ref, gx_ref, sbegin_ref, acc, best, arg = refs
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -75,7 +100,31 @@ def _kernel(
 
     @pl.when(i == S1 - 1)
     def _():
-        sbegin_ref[:, :] = arg[:, :]
+        if not fuse_post:
+            sbegin_ref[:, :] = arg[:, :]
+            return
+        # fused post-processing (pruning.py:get_rnnt_prune_ranges_rows +
+        # adjust_pruning_lower_bound): the XLA version is ~20 launch-bound
+        # micro-kernels on a (B, T) array (two 10-round reverse-cummin
+        # associative scans + the magic transform) — ~3x the cost of this
+        # whole kernel.  All of it is a few register ops on the tile we
+        # already hold, so do it here.
+        s = arg[:, :]
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = t_iota < T
+        te = bvec_ref[:, 3:4]  # (bblk, 1) t_end column
+        se = bvec_ref[:, 2:3]  # (bblk, 1) s_end column
+        # frames at/after t_end - 1 get the final window start
+        pad_val = jnp.maximum(se - K + 1, 0)
+        s = jnp.where(t_iota < te - 1, s, pad_val)
+        # adjust_pruning_lower_bound, verbatim in int32 registers
+        ramp = (adjust_step - 1) * t_iota
+        s = _rev_cummin_lanes(s, valid)
+        s = -(s - ramp)
+        s = _rev_cummin_lanes(s, valid)
+        s = jnp.maximum(s, 0)
+        s = -(s - ramp)
+        sbegin_ref[:, :] = s
 
 
 def window_argmax_rows_pallas(
@@ -83,6 +132,8 @@ def window_argmax_rows_pallas(
     px_grad_rows: jax.Array,
     K: int,
     interpret: Optional[bool] = None,
+    boundary: Optional[jax.Array] = None,
+    adjust_step: Optional[int] = None,
 ) -> jax.Array:
     """s_begin[b, t] = argmax_k ( window-sum of py_grad - px_grad entry ).
 
@@ -90,12 +141,22 @@ def window_argmax_rows_pallas(
       py_grad_rows: (S+1, B, T) blank occupancies (s-major).
       px_grad_rows: (S, B, T') symbol occupancies; only [:, :, :T] is read.
       K: static window width (1 <= K <= S+1).
+      boundary: optional (B, 4) int32; when given (with ``adjust_step``)
+        the kernel ALSO applies the whole get_rnnt_prune_ranges
+        post-processing in-register (boundary padding + the monotone /
+        step-bound repair) and returns the FINAL window starts.
+      adjust_step: the adjust_pruning_lower_bound step (2 for modified /
+        constrained, s_range for regular); required with ``boundary``.
 
-    Returns (B, T) int32 window starts in [0, S+1-K].
+    Returns (B, T) int32 window starts in [0, S+1-K] (raw argmax, or the
+    repaired starts when ``boundary`` is given).
     """
     S1, B, T = py_grad_rows.shape
     if not 1 <= K <= S1:
         raise ValueError(f"K={K} out of range for S+1={S1}")
+    fuse_post = boundary is not None
+    if fuse_post and adjust_step is None:
+        raise ValueError("adjust_step is required with boundary")
     from .wavefront import _interpret_default, _out_struct
 
     if interpret is None:
@@ -111,15 +172,26 @@ def window_argmax_rows_pallas(
     )
     # gx row k-1 = i-K (clamped; masked out for the k <= 0 steps).  A zero-
     # row px pad is never read: k > 0 is required before subtracting.
-    kernel = functools.partial(_kernel, S1=S1, K=K)
+    kernel = functools.partial(
+        _kernel, S1=S1, K=K, T=T,
+        adjust_step=int(adjust_step or 0), fuse_post=fuse_post,
+    )
+    in_specs = [
+        row_spec(lambda ib, i: (i, ib, 0)),  # gy row i
+        row_spec(lambda ib, i: (jnp.maximum(i - K, 0), ib, 0)),  # gy row i-K
+        row_spec(lambda ib, i: (jnp.clip(i - K, 0, S1 - 2), ib, 0)),  # gx row k-1
+    ]
+    inputs = [py_grad_rows, py_grad_rows, px_grad_rows]
+    if fuse_post:
+        in_specs.append(
+            pl.BlockSpec((bblk, 4), lambda ib, i: (ib, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(boundary.astype(jnp.int32))
     sbegin = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            row_spec(lambda ib, i: (i, ib, 0)),  # gy row i
-            row_spec(lambda ib, i: (jnp.maximum(i - K, 0), ib, 0)),  # gy row i-K
-            row_spec(lambda ib, i: (jnp.clip(i - K, 0, S1 - 2), ib, 0)),  # gx row k-1
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bblk, W), lambda ib, i: (ib, 0), memory_space=pltpu.VMEM)
         ],
@@ -132,5 +204,5 @@ def window_argmax_rows_pallas(
             pltpu.VMEM((bblk, W), jnp.int32),
         ],
         interpret=interpret,
-    )(py_grad_rows, py_grad_rows, px_grad_rows)[0]
+    )(*inputs)[0]
     return sbegin

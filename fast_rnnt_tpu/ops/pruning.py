@@ -97,6 +97,23 @@ def get_rnnt_prune_ranges_rows(
     if T1 == T + 1 and s_range < 2:
         raise ValueError("regular RNN-T needs s_range >= 2")
 
+    from .recursion import _resolve_default
+
+    adjust_step = 2 if T1 == T else s_range
+    if _resolve_default() == "pallas":
+        # the kernel also applies the boundary padding + monotone repair
+        # below in-register — the XLA version of that post-processing is
+        # ~20 launch-bound micro-kernels (~80 µs vs the kernel's 25 µs at
+        # the benchmark shape)
+        from .kernels.ranges import window_argmax_rows_pallas
+
+        s_begin = window_argmax_rows_pallas(
+            jax.lax.stop_gradient(py_grad_rows),
+            jax.lax.stop_gradient(px_grad_rows),
+            s_range, boundary=boundary, adjust_step=adjust_step,
+        )
+        return s_begin[:, :, None] + jnp.arange(s_range, dtype=jnp.int32)
+
     s_begin = _window_argmax(px_grad_rows, py_grad_rows, s_range)  # (B, T)
 
     # Frames at/after each utterance's last real frame get the final window
@@ -111,7 +128,7 @@ def get_rnnt_prune_ranges_rows(
 
     # Step bound: modified/constrained emit at most one symbol per frame, so
     # consecutive starts may differ by at most 1 (rnnt_loss.py:750-756).
-    s_begin = adjust_pruning_lower_bound(s_begin, 2 if T1 == T else s_range)
+    s_begin = adjust_pruning_lower_bound(s_begin, adjust_step)
 
     return s_begin[:, :, None] + jnp.arange(s_range, dtype=jnp.int32)
 

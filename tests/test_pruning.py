@@ -155,3 +155,47 @@ def _window_argmax_xla(px_grad_rows, py_grad_rows, s_range):
     )
     final = blk - px_pad[: S1 - s_range + 1, :, :T]
     return jnp.argmax(final, axis=0).astype(jnp.int32)
+
+
+def test_window_argmax_fused_post_matches_xla_pipeline():
+    """The kernel's fused post-processing (boundary padding + the
+    monotone / step-bound repair applied in-register at the final grid
+    step) must reproduce get_rnnt_prune_ranges_rows' XLA post path
+    exactly, for both rnnt shapes (adjust step 2 vs s_range) and ragged
+    boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_rnnt_tpu.ops.kernels.ranges import window_argmax_rows_pallas
+    from fast_rnnt_tpu.ops.pruning import adjust_pruning_lower_bound
+
+    rng = np.random.default_rng(23)
+    for S, B, T, regular in [(6, 3, 12, True), (9, 5, 9, False), (4, 2, 140, True)]:
+        S1 = S + 1
+        T1 = T + 1 if regular else T
+        gx = jnp.asarray(rng.random((S, B, T1)).astype(np.float32))
+        gy = jnp.asarray(rng.random((S1, B, T)).astype(np.float32))
+        se = rng.integers(2, S + 1, size=B).astype(np.int32)
+        te = np.clip(rng.integers(3, T + 1, size=B), 3, T).astype(np.int32)
+        boundary = jnp.asarray(
+            np.stack([np.zeros(B, np.int32), np.zeros(B, np.int32), se, te],
+                     axis=1)
+        )
+        for K in (2, 3, S1):
+            adjust_step = K if regular else 2
+            # reference: raw kernel argmax + the XLA post-processing
+            raw = window_argmax_rows_pallas(gy, gx, K, interpret=True)
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+            mask = t_idx < (boundary[:, 3][:, None] - 1)
+            pad = jnp.maximum(boundary[:, 2][:, None] - K + 1, 0)
+            want = jnp.where(mask, raw, pad)
+            want = np.asarray(adjust_pruning_lower_bound(want, adjust_step))
+            got = np.asarray(
+                window_argmax_rows_pallas(
+                    gy, gx, K, interpret=True,
+                    boundary=boundary, adjust_step=adjust_step,
+                )
+            )
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"S={S} T={T} K={K} regular={regular}"
+            )
