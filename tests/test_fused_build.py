@@ -450,3 +450,52 @@ def test_nonzero_blank_relabel_invariance(build_impl):
     # gradients relabel with the same permutation
     np.testing.assert_allclose(glm2, glm[:, :, swap], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(gam2, gam[:, :, swap], rtol=1e-4, atol=1e-6)
+
+
+def test_auto_dispatch_size_crossover():
+    """"auto" picks the XLA build below the measured B*T crossover and the
+    fused kernels at/above it (BENCH.md "Fused lattice-build kernels");
+    explicit "fused"/"xla" still force either way."""
+    import jax.numpy as jnp
+
+    from fast_rnnt_tpu.ops import lattice
+
+    small = (jnp.zeros((2, 3, 8), jnp.float32),   # lm (B, S+1, C)
+             jnp.zeros((2, 100, 8), jnp.float32),  # am: B*T = 200
+             jnp.zeros((2, 2), jnp.int32))
+    big = (jnp.zeros((64, 3, 8), jnp.float32),
+           jnp.zeros((64, 1000, 8), jnp.float32),  # B*T = 64k
+           jnp.zeros((64, 2), jnp.int32))
+    # auto: size decides (the pallas default holds on the CPU test mesh
+    # only under a forced impl, so pin the global to isolate the size arm)
+    prev = lattice._LATTICE_BUILD_IMPL
+    try:
+        lattice.set_lattice_build_impl("auto")
+        assert not lattice._use_fused_build(*small)
+        assert (64 * 1000 >= lattice._FUSED_BUILD_MIN_BT)
+        # forced modes ignore the threshold entirely
+        lattice.set_lattice_build_impl("fused")
+        assert lattice._use_fused_build(*small)
+        lattice.set_lattice_build_impl("xla")
+        assert not lattice._use_fused_build(*big)
+    finally:
+        lattice.set_lattice_build_impl(prev)
+
+
+def test_register_interpret_none_preserves_flag():
+    """register(interpret=None) — the lazy registration path — must not
+    clobber a previously selected interpret default (the multi-chip
+    dry-run bug: a TPU-initialized process re-registering mid-trace
+    silently flipped CPU-interpret back off)."""
+    from fast_rnnt_tpu.ops.kernels import latbuild, wavefront
+
+    prev = wavefront._INTERPRET
+    try:
+        wavefront.register(default=False, interpret=True)
+        assert wavefront._INTERPRET is True and latbuild._INTERPRET is True
+        wavefront.register(default=False)  # lazy path: interpret=None
+        assert wavefront._INTERPRET is True and latbuild._INTERPRET is True
+        wavefront.register(default=False, interpret=False)
+        assert wavefront._INTERPRET is False and latbuild._INTERPRET is False
+    finally:
+        wavefront.register(default=False, interpret=prev)
