@@ -473,7 +473,9 @@ def rnnt_loss_simple_pruned(
     neg_simple, (gx_rows, gy_rows) = mutual_information_rows(
         px_simple_rows, py_rows, boundary, calc_gradients=True, impl=impl
     )
-    ranges = get_rnnt_prune_ranges_rows(gx_rows, gy_rows, boundary, s_range)
+    ranges = get_rnnt_prune_ranges_rows(
+        gx_rows, gy_rows, boundary, s_range, impl=impl
+    )
     K = ranges.shape[2]
     lo = ranges[:, :, 0]
 
@@ -543,7 +545,9 @@ def rnnt_loss_smoothed_pruned(
     neg_smoothed, (gx_rows, gy_rows) = mutual_information_rows(
         px_sm_rows, py_sm_rows, boundary, calc_gradients=True, impl=impl
     )
-    ranges = get_rnnt_prune_ranges_rows(gx_rows, gy_rows, boundary, s_range)
+    ranges = get_rnnt_prune_ranges_rows(
+        gx_rows, gy_rows, boundary, s_range, impl=impl
+    )
     K = ranges.shape[2]
     lo = ranges[:, :, 0]
 

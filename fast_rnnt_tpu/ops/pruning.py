@@ -15,7 +15,7 @@ whole module is pure XLA.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,10 +80,16 @@ def get_rnnt_prune_ranges_rows(
     py_grad_rows: jax.Array,
     boundary: jax.Array,
     s_range: int,
+    impl: Optional[str] = None,
 ) -> jax.Array:
     """s-major variant of :func:`get_rnnt_prune_ranges` — consumes the
     (S, B, T)-major occupancies the fused pipeline's recursion emits, so
-    no transpose sits between the two stages."""
+    no transpose sits between the two stages.
+
+    ``impl`` mirrors the recursion's escape hatch: "xla" forces the
+    cumsum+argmax XLA formulation + XLA repair (the parity gate uses it
+    to check the fused Pallas ranges kernel against an independent
+    compiled path on hardware); None/"auto" picks per backend."""
     S, B, T1 = px_grad_rows.shape
     T = py_grad_rows.shape[-1]
     S1 = S + 1
@@ -100,7 +106,8 @@ def get_rnnt_prune_ranges_rows(
     from .recursion import _resolve_default
 
     adjust_step = 2 if T1 == T else s_range
-    if _resolve_default() == "pallas":
+    resolved = impl if impl not in (None, "auto") else _resolve_default()
+    if resolved == "pallas":
         # the kernel also applies the boundary padding + monotone repair
         # below in-register — the XLA version of that post-processing is
         # ~20 launch-bound micro-kernels (~80 µs vs the kernel's 25 µs at
@@ -114,7 +121,7 @@ def get_rnnt_prune_ranges_rows(
         )
         return s_begin[:, :, None] + jnp.arange(s_range, dtype=jnp.int32)
 
-    s_begin = _window_argmax(px_grad_rows, py_grad_rows, s_range)  # (B, T)
+    s_begin = _window_argmax(px_grad_rows, py_grad_rows, s_range, impl=resolved)  # (B, T)
 
     # Frames at/after each utterance's last real frame get the final window
     # start S - s_range + 1 (clipped at 0), so the last symbol is reachable
@@ -134,7 +141,10 @@ def get_rnnt_prune_ranges_rows(
 
 
 def _window_argmax(
-    px_grad_rows: jax.Array, py_grad_rows: jax.Array, s_range: int
+    px_grad_rows: jax.Array,
+    py_grad_rows: jax.Array,
+    s_range: int,
+    impl: Optional[str] = None,
 ) -> jax.Array:
     """argmax_k of (window-sum of py_grad - px_grad entry) per frame
     (rnnt_loss.py:722-729).  On TPU: one streaming Pallas pass
@@ -150,7 +160,8 @@ def _window_argmax(
 
     S1, B, T = py_grad_rows.shape
     T1 = px_grad_rows.shape[2]
-    if _resolve_default() == "pallas":
+    resolved = impl if impl not in (None, "auto") else _resolve_default()
+    if resolved == "pallas":
         from .kernels.ranges import window_argmax_rows_pallas
 
         return window_argmax_rows_pallas(py_grad_rows, px_grad_rows, s_range)
