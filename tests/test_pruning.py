@@ -170,7 +170,8 @@ def test_window_argmax_fused_post_matches_xla_pipeline():
     from fast_rnnt_tpu.ops.pruning import adjust_pruning_lower_bound
 
     rng = np.random.default_rng(23)
-    for S, B, T, regular in [(6, 3, 12, True), (9, 5, 9, False), (4, 2, 140, True)]:
+    for S, B, T, regular in [(6, 3, 12, True), (9, 5, 9, False), (4, 2, 140, True),
+                             (4, 2, 128, True), (5, 9, 256, False)]:
         S1 = S + 1
         T1 = T + 1 if regular else T
         gx = jnp.asarray(rng.random((S, B, T1)).astype(np.float32))
