@@ -203,16 +203,16 @@ def streaming_bench(chunk=32, batch_sizes=(8, 32, 128)):
     chunk_audio_s = chunk * 0.01  # 10 ms input frames
 
     rng = np.random.default_rng(0)
-    rows = {}
-    for Bs in batch_sizes:
+
+    def measure(Bs, sc):
         feats = jnp.asarray(
             rng.normal(size=(Bs, chunk, cfg.feature_dim)).astype(np.float32)
         )
         lens = jnp.full((Bs,), chunk, jnp.int32)
-        state = streaming_init(model, scfg, Bs)
+        state = streaming_init(model, sc, Bs)
 
         def step(st, fc, cl):
-            new_state, _ = streaming_step(model, params, scfg, st, fc, cl)
+            new_state, _ = streaming_step(model, params, sc, st, fc, cl)
             return new_state
 
         # sub-ms steps need many loop trips for the slope to clear the
@@ -222,12 +222,22 @@ def streaming_bench(chunk=32, batch_sizes=(8, 32, 128)):
             dt = benchmark_carried_on_device(
                 step, state, feats, lens, iters=600
             )
-        rows[Bs] = {
+        return {
             "step_us": round(dt * 1e6, 1),
             "rtf": round(dt / chunk_audio_s, 5) if dt > 0 else None,
             "streams_at_rt": int(Bs * chunk_audio_s / dt) if dt > 0 else None,
         }
+
+    rows = {Bs: measure(Bs, scfg) for Bs in batch_sizes}
     top = max(batch_sizes)
+    # streamed modified beam search (beam=4) at the top batch — the
+    # quality-tier serving mode (exact offline parity, tests/test_streaming)
+    try:
+        import dataclasses
+
+        beam_row = measure(top, dataclasses.replace(scfg, beam=4))
+    except Exception as e:
+        beam_row = {"error": repr(e)[:120]}
     return {
         "metric": "streaming_serving",
         "value": rows[top]["step_us"],
@@ -236,6 +246,7 @@ def streaming_bench(chunk=32, batch_sizes=(8, 32, 128)):
         "streams_at_rt": rows[top]["streams_at_rt"],
         "rtf": rows[top]["rtf"],
         "per_batch": {str(k): v for k, v in rows.items()},
+        "beam4_at_top_batch": beam_row,
         "geometry": {
             "chunk_ms": int(chunk_audio_s * 1000),
             "model": "causal-conformer-6L-256d-L32",
