@@ -98,14 +98,16 @@ def main():
     # Safety net: if the auto dispatch's Mosaic compile ever fails on a
     # new runtime, fall back to the XLA einsum build rather than losing
     # the whole bench run — the JSON then carries build_impl=
-    # "xla_fallback" so the regression is visible.  At this workload's
-    # B*T the measured-crossover auto dispatch picks the XLA build
-    # (lattice._FUSED_BUILD_MIN_BT; the fused kernels win at larger
-    # B*T), so report what auto actually resolved to.
+    # "xla_fallback" so the regression is visible.  Report what the auto
+    # dispatch ACTUALLY resolves to for this workload (the real dispatch
+    # predicate, not a re-derivation: it also accounts for the size
+    # crossover, dtype gates, and Pallas availability).
     from fast_rnnt_tpu.ops import lattice as _lat
 
     build_impl = (
-        "fused" if B * T >= _lat._FUSED_BUILD_MIN_BT else "xla_by_crossover"
+        "fused"
+        if _lat._use_fused_build(inputs[1], inputs[0], inputs[2])
+        else "xla_by_dispatch"
     )
     try:
         avg_s = benchmark_on_device(step_fn, *inputs, iters=ITERS, trials=TRIALS)

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..numerics import NEG_INF
-from .wavefront import _out_struct
+from .wavefront import _interpret_default, _out_struct
 
 __all__ = ["lattice_rows_fused"]
 
@@ -77,11 +77,6 @@ _PARAMS_BWD = pltpu.CompilerParams(
     vmem_limit_bytes=_VMEM_BYTES,
     dimension_semantics=("arbitrary", "arbitrary"),
 )
-
-# interpret-mode default for this process (set by kernels.register(...)
-# alongside the wavefront kernels)
-_INTERPRET = False
-
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -121,15 +116,6 @@ def _extract_col(side_ref, sel):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-
-def _default_backend_is_cpu() -> bool:
-    # auto-enables interpret mode when the public "fused" knob is flipped
-    # on a CPU-only process (Mosaic cannot lower there)
-    try:
-        return jax.default_backend() == "cpu"
-    except Exception:
-        return False
 
 
 def _dot(a, b, dims, precision):
@@ -615,7 +601,7 @@ def lattice_rows_fused(
     mode) into the kernel's output stores.
     """
     if interpret is None:
-        interpret = _INTERPRET or _default_backend_is_cpu()
+        interpret = _interpret_default()
     B, T, C = am.shape
 
     if rnnt_type == "constrained":
@@ -806,7 +792,7 @@ def lattice_rows_fused_smoothed(
     unigram cotangent, XLA autodiff covers the lm-side plumbing).
     """
     if interpret is None:
-        interpret = _INTERPRET or _default_backend_is_cpu()
+        interpret = _interpret_default()
     B, T, C = am.shape
     S = lm.shape[1] - 1
     from ..lattice import matmul_precision

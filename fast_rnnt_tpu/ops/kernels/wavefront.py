@@ -525,10 +525,8 @@ def register(default: bool = False, interpret: Optional[bool] = None) -> None:
     global _INTERPRET
     if interpret is not None:
         _INTERPRET = interpret
-    from . import latbuild
     from ..recursion import register_impl
 
-    latbuild._INTERPRET = _INTERPRET
     fwd = functools.partial(forward_lattice_pallas, interpret=None)
     bwd = functools.partial(backward_lattice_pallas, interpret=None)
     register_impl("pallas", fwd, bwd, default=default)

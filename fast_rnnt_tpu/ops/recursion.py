@@ -432,6 +432,24 @@ def _resolve_default() -> str:
     return _DEFAULT_IMPL
 
 
+def set_default_impl(impl: Optional[str]) -> None:
+    """Pin (or reset) the process-default recursion implementation.
+
+    ``"xla"`` / ``"pallas"`` / a registered custom name force that
+    implementation for every call that doesn't pass an explicit
+    ``impl=``; ``None`` clears the pin so the next call re-resolves per
+    backend (see :func:`_resolve_default`).  The supported way to route
+    a TPU-initialized process onto the XLA core for a CPU mesh (e.g. a
+    virtual-device dry-run)."""
+    global _DEFAULT_IMPL
+    if impl is not None and impl not in _IMPL and impl not in _LAZY_IMPLS:
+        raise ValueError(
+            f"unknown impl {impl!r}; registered: "
+            f"{sorted(set(_IMPL) | set(_LAZY_IMPLS))}"
+        )
+    _DEFAULT_IMPL = impl
+
+
 def _get_impl(impl: Optional[str]):
     if impl is None or impl == "auto":
         impl = _resolve_default()

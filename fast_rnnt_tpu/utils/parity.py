@@ -171,7 +171,15 @@ def onchip_parity_gate(
     out["golden_cases"] = len(files)
 
     # --- 4. production bf16-lattice mode ---------------------------------
-    s_b, p_b, _, _ = run(None, jnp.bfloat16, am, lm)
+    # force the FUSED build here too: the size-crossover auto dispatch
+    # would otherwise route small gate shapes to the XLA build and stop
+    # exercising the fused kernels' bf16 output stores (the exact bug
+    # class this arm exists to catch)
+    _lattice.set_lattice_build_impl("fused")
+    try:
+        s_b, p_b, _, _ = run(None, jnp.bfloat16, am, lm)
+    finally:
+        _lattice.set_lattice_build_impl(_prev_build)
     out["bf16_loss_rel_err"] = max(_rel_err(s_b, s_d), _rel_err(p_b, p_d))
 
     @jax.jit

@@ -466,13 +466,19 @@ def test_auto_dispatch_size_crossover():
     big = (jnp.zeros((64, 3, 8), jnp.float32),
            jnp.zeros((64, 1000, 8), jnp.float32),  # B*T = 64k
            jnp.zeros((64, 2), jnp.int32))
-    # auto: size decides (the pallas default holds on the CPU test mesh
-    # only under a forced impl, so pin the global to isolate the size arm)
+    # auto: size decides.  The CPU test process resolves the recursion
+    # default to "xla", which would mask the size arm — stub the memo to
+    # "pallas" so BOTH sides of the crossover are genuinely exercised
+    # against the dispatch code.
+    from fast_rnnt_tpu.ops import recursion
+
     prev = lattice._LATTICE_BUILD_IMPL
+    prev_impl = recursion._DEFAULT_IMPL
     try:
+        recursion._DEFAULT_IMPL = "pallas"
         lattice.set_lattice_build_impl("auto")
-        assert not lattice._use_fused_build(*small)
-        assert (64 * 1000 >= lattice._FUSED_BUILD_MIN_BT)
+        assert not lattice._use_fused_build(*small)   # below crossover
+        assert lattice._use_fused_build(*big)         # at/above crossover
         # forced modes ignore the threshold entirely
         lattice.set_lattice_build_impl("fused")
         assert lattice._use_fused_build(*small)
@@ -480,6 +486,7 @@ def test_auto_dispatch_size_crossover():
         assert not lattice._use_fused_build(*big)
     finally:
         lattice.set_lattice_build_impl(prev)
+        recursion._DEFAULT_IMPL = prev_impl
 
 
 def test_register_interpret_none_preserves_flag():
@@ -487,15 +494,16 @@ def test_register_interpret_none_preserves_flag():
     clobber a previously selected interpret default (the multi-chip
     dry-run bug: a TPU-initialized process re-registering mid-trace
     silently flipped CPU-interpret back off)."""
-    from fast_rnnt_tpu.ops.kernels import latbuild, wavefront
+    from fast_rnnt_tpu.ops.kernels import wavefront
 
     prev = wavefront._INTERPRET
     try:
         wavefront.register(default=False, interpret=True)
-        assert wavefront._INTERPRET is True and latbuild._INTERPRET is True
+        assert wavefront._INTERPRET is True
+        assert wavefront._interpret_default() is True  # shared by latbuild
         wavefront.register(default=False)  # lazy path: interpret=None
-        assert wavefront._INTERPRET is True and latbuild._INTERPRET is True
+        assert wavefront._INTERPRET is True
         wavefront.register(default=False, interpret=False)
-        assert wavefront._INTERPRET is False and latbuild._INTERPRET is False
+        assert wavefront._INTERPRET is False
     finally:
         wavefront.register(default=False, interpret=prev)
