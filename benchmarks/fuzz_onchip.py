@@ -1,0 +1,257 @@
+"""On-chip fuzz sweep: compiled Pallas kernels vs the XLA core across
+random shapes/configs, component by component.
+
+The driver bench's parity gate certifies ONE shape per round; this sweep
+covers the compiled-lowering surface the gate can't: varied (B, T, S, C,
+s_range), all three rnnt_types, ragged and full boundaries, f32/bf16
+inputs, forced fused/xla lattice builds.
+
+Each case compares per COMPONENT with the right equivalence notion:
+
+  build    px/py rows, fused Pallas build vs XLA einsum build
+  stage1   loss + occupancies, Pallas scan vs XLA scan, SAME rows
+  ranges   Pallas argmax+repair vs XLA, same occupancies — TIE-AWARE:
+           positions may legitimately differ where two windows have
+           near-equal occupancy scores (a raw float near-tie propagates
+           through the monotone repair), so differing positions are only
+           a failure if the two choices' window scores differ by > eps
+  stage2   banded loss + grads, Pallas vs XLA, SAME (Pallas) ranges
+
+(The first fuzz run of round 3 compared whole pipelines and flagged the
+modified/s_range=1 tie-sensitivity this structure now accounts for; the
+same run motivated exact K=1 window sums in both implementations.)
+
+Run on the TPU:  python benchmarks/fuzz_onchip.py [n_cases] [seed]
+Exits nonzero on the first failure with the full config.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fast_rnnt_tpu as frt
+from fast_rnnt_tpu.ops import lattice, pruning, recursion
+
+N_CASES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+# f32 mode: split matmuls vs HIGHEST einsums, ~2^-16-relative.
+# bf16 mode: the two builds round different intermediates to bf16 (the
+# fused kernel computes exp in f32 then stores bf16; the XLA build's
+# jnp.exp stays bf16), so their outputs differ at the bf16 class
+# (~4e-3 relative) BY CONSTRUCTION — the tolerance reflects the mode.
+BUILD_STOL = {False: 5e-4, True: 6e-3}
+LOSS_RTOL = {False: 3e-4, True: 3e-3}
+# bf16 grads: the two scan cores quantize their occupancy/cotangent
+# storage to bf16 at different points, so gradient agreement is the
+# bf16 class times band-edge amplification; the loss VALUES still agree
+# to ~1e-4 and the f32 cases pin the tight bound.
+GRAD_STOL = {False: 3e-3, True: 3e-2}
+TIE_EPS = 1e-3      # window-score gap below which argmax flips are legit
+
+
+def scaled_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / max(float(np.max(np.abs(b))), 1e-20))
+
+
+def finite_scaled_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    mask = np.isfinite(a) & np.isfinite(b)
+    if bool(np.any(np.isfinite(a) != np.isfinite(b))):
+        return float("inf")
+    if not mask.any():
+        return 0.0
+    scale = max(float(np.max(np.abs(b[mask]))), 1e-20)
+    return float(np.max(np.abs(a[mask] - b[mask])) / scale)
+
+
+def draw(rng):
+    B = int(rng.integers(1, 17))
+    T = int(rng.integers(8, 600))
+    S = int(rng.integers(1, 80))
+    C = int(rng.integers(8, 300))
+    T = max(T, S + 3)
+    rnnt_type = str(rng.choice(["regular", "modified", "constrained"]))
+    min_sr = 2 if rnnt_type == "regular" else 1
+    s_range = int(rng.integers(min_sr, min(S + 1, 8) + 1)) if S >= min_sr else min_sr
+    s_range = max(min_sr, min(s_range, S))
+    bf16 = bool(rng.integers(0, 2))
+    ragged = bool(rng.integers(0, 2))
+    blank = int(rng.integers(0, min(C, 3)))
+
+    am = rng.normal(size=(B, T, C)).astype(np.float32)
+    lm = rng.normal(size=(B, S + 1, C)).astype(np.float32)
+    syms = rng.integers(0, C, size=(B, S)).astype(np.int32)
+    syms[syms == blank] = (blank + 1) % C
+    if ragged:
+        t_end = np.clip(rng.integers(S + 2, T + 1, size=B), S + 2, T).astype(np.int32)
+        s_end = np.clip(rng.integers(1, S + 1, size=B), 1, S).astype(np.int32)
+    else:
+        t_end = np.full(B, T, np.int32)
+        s_end = np.full(B, S, np.int32)
+    bnd = np.stack(
+        [np.zeros(B, np.int32), np.zeros(B, np.int32), s_end, t_end], axis=1)
+    return dict(B=B, T=T, S=S, C=C, rnnt_type=rnnt_type, s_range=s_range,
+                bf16=bf16, ragged=ragged, blank=blank, am=am, lm=lm,
+                syms=syms, bnd=bnd)
+
+
+def window_scores(gy, gx, K):
+    """Repair-free window scores [S1-K+1, B, T] (the argmax objective)."""
+    S1, B, T = gy.shape
+    gy32 = np.asarray(gy, np.float32)
+    gx32 = np.asarray(gx, np.float32)[:, :, :T]
+    if K == 1:
+        blk = gy32
+    else:
+        cs = np.concatenate([np.zeros((1, B, T), np.float32),
+                             np.cumsum(gy32, axis=0)], axis=0)
+        blk = cs[K:] - cs[: S1 - K + 1]
+    px_pad = np.concatenate([np.zeros((1, B, T), np.float32), gx32], axis=0)
+    return blk - px_pad[: S1 - K + 1]
+
+
+def run_case(case, idx):
+    am = jnp.asarray(case["am"])
+    lm = jnp.asarray(case["lm"])
+    if case["bf16"]:
+        am, lm = am.astype(jnp.bfloat16), lm.astype(jnp.bfloat16)
+    symbols = jnp.asarray(case["syms"])
+    boundary = jnp.asarray(case["bnd"])
+    blank, K, rnnt_type = case["blank"], case["s_range"], case["rnnt_type"]
+    ldt = jnp.bfloat16 if case["bf16"] else None
+    cfg = {k: case[k] for k in
+           ("B", "T", "S", "C", "rnnt_type", "s_range", "bf16", "ragged",
+            "blank")}
+    cfg["case"] = idx
+    errs = {}
+
+    # --- build ------------------------------------------------------------
+    def build(a, l, force):
+        lattice.set_lattice_build_impl(force)
+        try:
+            # fresh lambda per call -> fresh trace under the forced global
+            return jax.jit(lambda a_, l_: lattice.get_rnnt_logprobs_rows(
+                l_, a_, symbols, blank, rnnt_type, boundary))(a, l)
+        finally:
+            lattice.set_lattice_build_impl("auto")
+
+    px_p, py_p = build(am, lm, "fused")
+    px_x, py_x = build(am, lm, "xla")
+    errs["build_px"] = finite_scaled_err(px_p, px_x)
+    errs["build_py"] = finite_scaled_err(py_p, py_x)
+    bf = case["bf16"]
+    if errs["build_px"] > BUILD_STOL[bf] or errs["build_py"] > BUILD_STOL[bf]:
+        return cfg, errs, "build parity failure"
+
+    # --- stage 1 (same rows both impls) -----------------------------------
+    px_rows, py_rows = px_x, py_x
+    if ldt is not None:
+        px_rows, py_rows = px_rows.astype(ldt), py_rows.astype(ldt)
+
+    def stage1(px, py, impl_is_pallas):
+        return recursion.mutual_information_rows(
+            px, py, boundary, calc_gradients=True,
+            impl="pallas" if impl_is_pallas else "xla",
+        )
+
+    s_p, (gx_p, gy_p) = jax.jit(stage1, static_argnums=(2,))(px_rows, py_rows, True)
+    s_x, (gx_x, gy_x) = jax.jit(stage1, static_argnums=(2,))(px_rows, py_rows, False)
+    errs["stage1_score"] = scaled_err(s_p, s_x)
+    errs["stage1_gx"] = scaled_err(gx_p, gx_x)
+    errs["stage1_gy"] = scaled_err(gy_p, gy_x)
+    if (errs["stage1_score"] > LOSS_RTOL[bf] or errs["stage1_gx"] > GRAD_STOL[bf]
+            or errs["stage1_gy"] > GRAD_STOL[bf]):
+        return cfg, errs, "stage1 parity failure"
+
+    # --- ranges ------------------------------------------------------------
+    # (a) RAW argmax, tie-aware: a float near-tie may pick either window;
+    #     only a flip with a real score gap is a failure.
+    from fast_rnnt_tpu.ops.kernels.ranges import window_argmax_rows_pallas
+
+    gx_f = jax.lax.stop_gradient(gx_x)
+    gy_f = jax.lax.stop_gradient(gy_x)
+    raw_p = np.asarray(jax.jit(
+        lambda a, b: window_argmax_rows_pallas(b, a, K))(gx_f, gy_f))
+    raw_x = np.asarray(jax.jit(
+        lambda a, b: pruning._window_argmax(a, b, K, impl="xla"))(gx_f, gy_f))
+    raw_diff = raw_p != raw_x
+    errs["raw_argmax_diff_frac"] = float(raw_diff.mean())
+    if raw_diff.any():
+        scores = window_scores(gy_x, gx_x, K)
+        bad = 0
+        for b, t in np.argwhere(raw_diff):
+            gap = abs(scores[raw_p[b, t], b, t] - scores[raw_x[b, t], b, t])
+            if gap > TIE_EPS:
+                bad += 1
+        errs["raw_non_tie_diffs"] = bad
+        if bad:
+            return cfg, errs, "raw window-argmax failure beyond tie tolerance"
+
+    # (b) the fused in-kernel repair must EXACTLY equal the XLA repair
+    #     applied to the kernel's own raw starts (deterministic int math)
+    adjust_step = 2 if rnnt_type != "regular" else K
+    r_p = np.asarray(pruning.get_rnnt_prune_ranges_rows(
+        gx_x, gy_x, boundary, K, impl="pallas"))
+    t_idx = np.arange(raw_p.shape[1])[None, :]
+    bnd = np.asarray(boundary)
+    mask = t_idx < (bnd[:, 3][:, None] - 1)
+    pad = np.maximum(bnd[:, 2][:, None] - K + 1, 0)
+    want = np.where(mask, raw_p, pad)
+    want = np.asarray(pruning.adjust_pruning_lower_bound(
+        jnp.asarray(want), adjust_step))
+    want = want[:, :, None] + np.arange(K, dtype=np.int32)
+    if (r_p != want).any():
+        errs["repair_diffs"] = int((r_p != want).sum())
+        return cfg, errs, "fused repair != XLA repair on identical raw starts"
+
+    # --- stage 2 (same ranges both impls) ----------------------------------
+    ranges = jnp.asarray(r_p)
+
+    def stage2(a, l, impl_is_pallas):
+        loss = frt.rnnt_loss_pruned_simple(
+            l, a, symbols, ranges, blank, boundary, rnnt_type,
+            reduction="sum", impl="pallas" if impl_is_pallas else "xla",
+            lattice_dtype=ldt,
+        )
+        return loss
+
+    v_p, g_p = jax.jit(jax.value_and_grad(stage2, argnums=(0, 1)),
+                       static_argnums=(2,))(am, lm, True)
+    v_x, g_x = jax.jit(jax.value_and_grad(stage2, argnums=(0, 1)),
+                       static_argnums=(2,))(am, lm, False)
+    if not (np.isfinite(float(v_p)) and np.isfinite(float(v_x))):
+        return cfg, errs, f"non-finite stage2 loss {float(v_p)} {float(v_x)}"
+    errs["stage2_loss"] = abs(float(v_p) - float(v_x)) / max(abs(float(v_x)), 1e-20)
+    errs["stage2_dam"] = scaled_err(g_p[0], g_x[0])
+    errs["stage2_dlm"] = scaled_err(g_p[1], g_x[1])
+    if (errs["stage2_loss"] > LOSS_RTOL[bf] or errs["stage2_dam"] > GRAD_STOL[bf]
+            or errs["stage2_dlm"] > GRAD_STOL[bf]):
+        return cfg, errs, "stage2 parity failure"
+    return cfg, errs, None
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    print(json.dumps({"device": str(jax.devices()[0]), "cases": N_CASES,
+                      "seed": SEED}), flush=True)
+    for i in range(N_CASES):
+        case = draw(rng)
+        cfg, errs, fail = run_case(case, i)
+        row = {**cfg, **{k: (round(v, 7) if isinstance(v, float) else v)
+                         for k, v in errs.items()}}
+        if fail:
+            print(json.dumps({"FAIL": fail, **row}), flush=True)
+            raise SystemExit(1)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"result": "ALL_PASS", "cases": N_CASES}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

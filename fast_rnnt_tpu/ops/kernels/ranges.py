@@ -72,15 +72,21 @@ def _kernel(
         gy_in_ref, gy_out_ref, gx_ref, sbegin_ref, acc, best, arg = refs
     i = pl.program_id(1)
 
-    @pl.when(i == 0)
-    def _():
-        acc[:, :] = jnp.zeros_like(acc[:, :])
+    if K == 1:
+        # width-1 window: the sum IS the row — skip the rolling update
+        # entirely (the add/subtract form accumulates ~1e-7*S float
+        # drift, which flips near-tie argmaxes; at K=1 exactness is free)
+        a = gy_in_ref[0].astype(jnp.float32)
+    else:
+        @pl.when(i == 0)
+        def _():
+            acc[:, :] = jnp.zeros_like(acc[:, :])
 
-    # window gains row i (f32 accumulate even for bf16 occupancies)
-    a = acc[:, :] + gy_in_ref[0].astype(jnp.float32)
-    # ...and drops row i-K once the window is full
-    a = jnp.where(i >= K, a - gy_out_ref[0].astype(jnp.float32), a)
-    acc[:, :] = a
+        # window gains row i (f32 accumulate even for bf16 occupancies)
+        a = acc[:, :] + gy_in_ref[0].astype(jnp.float32)
+        # ...and drops row i-K once the window is full
+        a = jnp.where(i >= K, a - gy_out_ref[0].astype(jnp.float32), a)
+        acc[:, :] = a
 
     # window [k, k+K) complete at i = k+K-1; score = acc - px_grad[k-1]
     # (the k = 0 window has no px term: px_grad_pad[0] = 0)

@@ -165,11 +165,19 @@ def _window_argmax(
         from .kernels.ranges import window_argmax_rows_pallas
 
         return window_argmax_rows_pallas(py_grad_rows, px_grad_rows, s_range)
-    cumsum = jnp.cumsum(py_grad_rows, axis=0)  # (S1, B, T)
-    cumsum = jnp.concatenate(
-        [jnp.zeros((1, B, T), dtype=cumsum.dtype), cumsum], axis=0
-    )  # (S1+1, B, T)
-    blk_sum_grad = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
+    if s_range == 1:
+        # width-1 window: exact row values (the cumsum difference below
+        # carries ~1e-7*S float drift that flips near-tie argmaxes; the
+        # Pallas kernel is exact at K=1, keep both sides identical)
+        blk_sum_grad = py_grad_rows.astype(jnp.float32)
+    else:
+        cumsum = jnp.cumsum(
+            py_grad_rows.astype(jnp.float32), axis=0
+        )  # (S1, B, T)
+        cumsum = jnp.concatenate(
+            [jnp.zeros((1, B, T), jnp.float32), cumsum], axis=0
+        )  # (S1+1, B, T)
+        blk_sum_grad = cumsum[s_range:] - cumsum[: S1 - s_range + 1]
     px_grad_pad = jnp.concatenate(
         [jnp.zeros((1, B, T1), dtype=px_grad_rows.dtype), px_grad_rows], axis=0
     )  # (S1, B, T1)

@@ -200,3 +200,28 @@ def test_window_argmax_fused_post_matches_xla_pipeline():
             np.testing.assert_array_equal(
                 got, want, err_msg=f"S={S} T={T} K={K} regular={regular}"
             )
+
+
+def test_window_argmax_k1_exact_no_drift():
+    """K=1 window sums must be EXACT on both paths (no rolling-update or
+    cumsum-difference float drift): with width-1 windows the score is a
+    direct read, so pallas and XLA argmaxes must agree bit-for-bit even
+    on adversarially near-tied random occupancies (round-3 fuzz finding:
+    the drift flipped near-tie argmaxes and moved the pruned band)."""
+    import jax.numpy as jnp
+
+    from fast_rnnt_tpu.ops.kernels.ranges import window_argmax_rows_pallas
+    from fast_rnnt_tpu.ops.pruning import _window_argmax
+
+    rng = np.random.default_rng(11)
+    for S, B, T in [(69, 8, 271), (7, 3, 40)]:
+        S1 = S + 1
+        # tiny magnitudes + many exact zeros: the near-tie regime
+        gy = rng.random((S1, B, T)).astype(np.float32) * 1e-6
+        gy[rng.random(gy.shape) < 0.7] = 0.0
+        gx = rng.random((S, B, T)).astype(np.float32) * 1e-6
+        gx[rng.random(gx.shape) < 0.7] = 0.0
+        gyj, gxj = jnp.asarray(gy), jnp.asarray(gx)
+        got = np.asarray(window_argmax_rows_pallas(gyj, gxj, 1, interpret=True))
+        want = np.asarray(_window_argmax(gxj, gyj, 1, impl="xla"))
+        np.testing.assert_array_equal(got, want, err_msg=f"S={S} T={T}")
