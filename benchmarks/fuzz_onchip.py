@@ -35,8 +35,15 @@ import numpy as np
 import fast_rnnt_tpu as frt
 from fast_rnnt_tpu.ops import lattice, pruning, recursion
 
-N_CASES = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+def _cli_int(i, default):
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):  # also: imported by tests, not CLI
+        return default
+
+
+N_CASES = _cli_int(1, 24)
+SEED = _cli_int(2, 0)
 
 # f32 mode: split matmuls vs HIGHEST einsums, ~2^-16-relative.
 # bf16 mode: the two builds round different intermediates to bf16 (the
