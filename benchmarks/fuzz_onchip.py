@@ -85,7 +85,9 @@ def draw(rng):
     C = int(rng.integers(8, 300))
     T = max(T, S + 3)
     rnnt_type = str(rng.choice(["regular", "modified", "constrained"]))
-    min_sr = 2 if rnnt_type == "regular" else 1
+    # constrained needs s_range >= 2 (width-1 bands are provably
+    # infeasible and now raise; see lattice.get_rnnt_logprobs_pruned)
+    min_sr = 1 if rnnt_type == "modified" else 2
     s_range = int(rng.integers(min_sr, min(S + 1, 8) + 1)) if S >= min_sr else min_sr
     s_range = max(min_sr, min(s_range, S))
     bf16 = bool(rng.integers(0, 2))

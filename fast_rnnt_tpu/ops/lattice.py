@@ -455,6 +455,13 @@ def get_rnnt_logprobs_pruned(
     a modular roll.
     """
     _check_rnnt_type(rnnt_type)
+    if rnnt_type == "constrained" and ranges.shape[2] < 2:
+        # the constrained px fix adds py of the NEXT symbol row at t+1
+        # (rnnt_loss.py:1015-1018); with a width-1 window that row is
+        # outside the band, so EVERY px arc is -inf and the loss is
+        # infinite for every utterance (the reference silently returns
+        # inf here; fail loudly instead)
+        raise ValueError("constrained RNN-T needs s_range >= 2")
     B, T, s_range, C = logits.shape
     S = symbols.shape[1]
 
@@ -554,6 +561,10 @@ def get_rnnt_logprobs_pruned_simple(
     ``am_p, lm_p = do_rnnt_pruning(am, lm, ranges)``.
     """
     _check_rnnt_type(rnnt_type)
+    if rnnt_type == "constrained" and ranges.shape[2] < 2:
+        # see get_rnnt_logprobs_pruned: a width-1 window makes every
+        # constrained px arc -inf (its py[s+1, t+1] term is out-of-band)
+        raise ValueError("constrained RNN-T needs s_range >= 2")
     # build the simple lattice (without the constrained add, which must
     # happen AFTER band masking to match get_rnnt_logprobs_pruned,
     # rnnt_loss.py:1015-1018), then mask it to the band

@@ -366,6 +366,10 @@ def rnnt_loss_pruned_simple(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary, ranges=ranges,
     )
+    if rnnt_type == "constrained" and ranges.shape[2] < 2:
+        # width-1 bands are provably infeasible for constrained RNN-T
+        # (see lattice.get_rnnt_logprobs_pruned)
+        raise ValueError("constrained RNN-T needs s_range >= 2")
     # s-major + in-kernel band masking: the simple lattice is built once in
     # rows layout and the band (lo = ranges[:, :, 0], width K) is masked
     # in-register by the recursion — no band-masked copy, no mask-VJP pass
@@ -438,6 +442,11 @@ def rnnt_loss_simple_pruned(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
+    if rnnt_type == "constrained" and s_range < 2:
+        # a width-1 band makes every constrained px arc -inf (its
+        # py[s+1, t+1] term is out-of-band) -> infinite loss for every
+        # utterance; see get_rnnt_logprobs_pruned
+        raise ValueError("constrained RNN-T needs s_range >= 2")
     # get_rnnt_prune_ranges needs explicit bounds; default [0, 0, S, T]
     boundary = _normalize_boundary(
         boundary, am.shape[0], symbols.shape[1], am.shape[1]
@@ -528,6 +537,8 @@ def rnnt_loss_smoothed_pruned(
         lm=lm, am=am, symbols=symbols,
         termination_symbol=termination_symbol, boundary=boundary,
     )
+    if rnnt_type == "constrained" and s_range < 2:
+        raise ValueError("constrained RNN-T needs s_range >= 2")
     boundary = _normalize_boundary(
         boundary, am.shape[0], symbols.shape[1], am.shape[1]
     )

@@ -677,3 +677,42 @@ def test_chunked_two_stage_pipeline():
     np.testing.assert_allclose(float(lp_m), float(lp_c), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gp_m), np.asarray(gp_c), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_constrained_s_range_1_raises():
+    """Width-1 pruning bands are provably infeasible for constrained
+    RNN-T (the px fix needs py of the NEXT row at t+1, which is outside
+    the band) — fuzz finding; the reference silently returns inf, we
+    raise.  Covers the fused, band-native and materialized paths."""
+    from fast_rnnt_tpu import (
+        do_rnnt_pruning,
+        rnnt_loss_pruned,
+        rnnt_loss_pruned_simple,
+        rnnt_loss_simple_pruned,
+    )
+
+    rng = np.random.default_rng(5)
+    B, T, S, C = 2, 12, 4, 8
+    am = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, C)).astype(np.float32))
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B, np.int32), np.zeros(B, np.int32),
+                  np.full(B, S, np.int32), np.full(B, T, np.int32)], axis=1))
+    ranges = jnp.zeros((B, T, 1), jnp.int32)
+
+    with pytest.raises(ValueError, match="constrained.*s_range >= 2"):
+        rnnt_loss_simple_pruned(
+            lm, am, symbols, 0, 1, boundary, rnnt_type="constrained")
+    with pytest.raises(ValueError, match="constrained.*s_range >= 2"):
+        rnnt_loss_pruned_simple(
+            lm, am, symbols, ranges, 0, boundary, "constrained")
+    am_p, lm_p = do_rnnt_pruning(am, lm, ranges)
+    with pytest.raises(ValueError, match="constrained.*s_range >= 2"):
+        rnnt_loss_pruned(am_p + lm_p, symbols, ranges, 0, boundary,
+                         "constrained")
+    # modified stays legal at s_range=1
+    out = rnnt_loss_simple_pruned(
+        lm, am, symbols, 0, 1, boundary, rnnt_type="modified",
+        reduction="none")
+    assert np.all(np.isfinite(np.asarray(out[0])))
