@@ -8,6 +8,11 @@ the batch size (the B-scaling investigation) and/or run the production
 bf16 mixed-precision mode.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -25,6 +25,11 @@ Run on the TPU:  python benchmarks/fuzz_onchip.py [n_cases] [seed]
 Exits nonzero on the first failure with the full config.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -18,6 +18,11 @@ Variants compute wrong values by design (except `full`); they are
 timing probes, never dispatched.  Run:  python benchmarks/latbuild_variants.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 

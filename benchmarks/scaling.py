@@ -6,6 +6,11 @@ Prints one JSON line per shape.  Optional arg ``fp32`` re-runs the same
 shapes in the fp32-faithful mode.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -77,6 +77,23 @@ def main():
         print(f"  ref: {np.asarray(syms)[b].tolist()}  "
               f"hyp: {np.asarray(hyps)[b, :int(lens[b])].tolist()}")
 
+    # continuous-batching server: both utterances (and a repeat of the
+    # first) multiplexed through ONE slot — each admission re-arms the
+    # slot and still decodes exactly the offline tokens
+    from fast_rnnt_tpu.models import StreamServer
+
+    server = StreamServer(model, params, StreamingConfig(chunk=16, max_len=16),
+                          capacity=1)
+    f_np = np.asarray(feats)
+    for sid, b in [("utt0", 0), ("utt1", 1), ("utt0-again", 0)]:
+        server.submit(sid, f_np[b])
+    results = server.run()
+    for sid, b in [("utt0", 0), ("utt1", 1), ("utt0-again", 0)]:
+        assert np.array_equal(
+            results[sid], np.asarray(off_hyps)[b, : int(off_lens[b])]
+        )
+    print("StreamServer (1 slot, 3 admissions) == offline decode")
+
 
 if __name__ == "__main__":
     main()

@@ -1,6 +1,12 @@
 from .decoding import greedy_over_frames, greedy_search, modified_beam_search
 from .metrics import edit_distance, token_error_rate
-from .streaming import StreamingConfig, streaming_init, streaming_step
+from .serving import StreamServer
+from .streaming import (
+    StreamingConfig,
+    streaming_init,
+    streaming_reset,
+    streaming_step,
+)
 from .training import (
     LossConfig,
     init_model,
@@ -26,10 +32,12 @@ __all__ = [
     "greedy_over_frames",
     "greedy_search",
     "init_model",
+    "StreamServer",
     "StreamingConfig",
     "edit_distance",
     "token_error_rate",
     "streaming_init",
+    "streaming_reset",
     "streaming_step",
     "modified_beam_search",
     "make_boundary",

@@ -143,9 +143,11 @@ def greedy_over_frames(
         emit_cnt = jnp.where(advance, 0, emit_cnt + take.astype(jnp.int32))
         return t_ptr, emit_cnt, ctx, hyps, lens
 
-    t0 = jnp.zeros((B,), jnp.int32)
+    # zeros_like(lens): under shard_map the carry must match the loop
+    # body's varying-manual-axes type, which fresh jnp.zeros would not
+    t0 = jnp.zeros_like(lens)
     _, _, ctx, hyps, lens = jax.lax.while_loop(
-        cond, trip, (t0, jnp.zeros((B,), jnp.int32), ctx, hyps, lens)
+        cond, trip, (t0, jnp.zeros_like(lens), ctx, hyps, lens)
     )
     return ctx, hyps, lens
 

@@ -44,6 +44,7 @@ __all__ = [
     "StreamingConfig",
     "encoder_stream_state",
     "streaming_init",
+    "streaming_reset",
     "streaming_step",
 ]
 
@@ -87,7 +88,9 @@ def encoder_stream_state(
         "mid_tail": jnp.zeros((B, 2, F2, d // 4), dt),
         "att": [jnp.zeros((B, L, d), dt) for _ in range(cfg.num_layers)],
         "conv": [jnp.zeros((B, k - 1, d), dt) for _ in range(cfg.num_layers)],
-        "seen": jnp.zeros((), jnp.int32),
+        # per-stream so slots can be reset independently (continuous
+        # batching, models/serving.py); all entries advance together
+        "seen": jnp.zeros((B,), jnp.int32),
     }
 
 
@@ -113,7 +116,7 @@ def streaming_init(
     state = {
         "enc": encoder_stream_state(cfg, B),
         "stream_len": jnp.zeros((B,), jnp.int32),  # real frames seen
-        "decoded_t": jnp.zeros((), jnp.int32),  # encoder frames decoded
+        "decoded_t": jnp.zeros((B,), jnp.int32),  # encoder frames decoded
     }
     if scfg.beam:
         scores, ctx, hyps, lens = beam_init_state(
@@ -127,6 +130,29 @@ def streaming_init(
             lens=jnp.zeros((B,), jnp.int32),
         )
     return state
+
+
+def streaming_reset(
+    model: PrunedTransducer, scfg: StreamingConfig, state: dict, reset: jax.Array
+) -> dict:
+    """Reset the streams where ``reset`` (a (B,) bool mask) is True to the
+    fresh :func:`streaming_init` state, leaving the other slots untouched.
+
+    This is the continuous-batching primitive (models/serving.py): a slot
+    whose utterance finished is re-armed for a newly admitted stream while
+    its batch neighbors keep decoding.  Every state leaf is per-stream
+    (leading B axis), so the reset is one fused ``where`` per leaf —
+    jit-friendly, no host round-trip, and exact: a reset slot's subsequent
+    decode is bitwise the decode of a fresh batch (tests/test_serving.py).
+    """
+    B = state["stream_len"].shape[0]
+    fresh = streaming_init(model, scfg, B)
+
+    def sel(new, old):
+        m = reset.reshape((B,) + (1,) * (old.ndim - 1))
+        return jnp.where(m, new, old)
+
+    return jax.tree_util.tree_map(sel, fresh, state)
 
 
 def streaming_step(
@@ -143,9 +169,14 @@ def streaming_step(
     Args:
       chunk_feats: (B, chunk, feature_dim); pad the final partial chunk
         with anything and pass the real count in ``chunk_lens``.
-      chunk_lens: (B,) int32 in [0, chunk] — 0 for ended streams (their
-        decode state passes through unchanged; encoder state advances on
-        padding, which is harmless because no further frame is active).
+      chunk_lens: (B,) int32 in [0, chunk] — 0 for ended or stalled
+        streams.  A zero-length slot is FROZEN this step: its encoder
+        state and counters pass through unchanged (so a stream waiting
+        for more audio — continuous batching, models/serving.py — is not
+        polluted by padding) and its decode state is untouched (no active
+        frames).  A PARTIAL chunk (0 < len < chunk) must only be a
+        stream's FINAL chunk: the remaining positions are consumed as
+        padding, which is exact only when no real frame follows.
 
     Jit-friendly: every shape is static and the carried state is a pytree
     of fixed shapes, so one compilation serves the whole stream.
@@ -159,19 +190,33 @@ def streaming_step(
         params, chunk_feats, state["enc"],
         method=lambda m, fc, st: m.encode_stream(fc, st),
     )
+    # freeze zero-length slots (fused per-leaf select; every leaf is
+    # per-stream with a leading B axis)
+    fed = chunk_lens > 0  # (B,)
+    enc_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            fed.reshape((B,) + (1,) * (old.ndim - 1)), new, old
+        ),
+        enc_state,
+        state["enc"],
+    )
 
     # frame activity from the per-stream total length (ends mid-chunk)
     stream_len = state["stream_len"] + chunk_lens
     total_sub = (stream_len + 3) // 4  # matches Encoder out_lens
-    t0 = state["decoded_t"]
+    t0 = state["decoded_t"]  # (B,)
     frame_active = (
-        t0 + jax.lax.broadcasted_iota(jnp.int32, (B, n_new), 1)
-    ) < total_sub[:, None]
+        fed[:, None]
+        & (
+            (t0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (B, n_new), 1))
+            < total_sub[:, None]
+        )
+    )
 
     new_state = {
         "enc": enc_state,
         "stream_len": stream_len,
-        "decoded_t": t0 + n_new,
+        "decoded_t": t0 + jnp.where(fed, n_new, 0),
     }
     if scfg.beam:
         scores, ctx, hyps, lens = beam_over_frames(

@@ -170,8 +170,10 @@ class ConformerBlock(nn.Module):
           att_cache: (B, L, d) the previous L attention INPUTS (post
             ln_attn) — the key/value window.  L = attention_left_context.
           conv_tail: (B, k-1, d) the conv module's post-GLU tail.
-          seen: traced int32 scalar — encoder frames already consumed
-            (masks the not-yet-filled cache slots during warmup).
+          seen: traced int32 — encoder frames already consumed; a scalar
+            (all streams aligned) or a per-stream (B,) vector (continuous
+            batching: slots admitted at different times, models/serving.py).
+            Masks the not-yet-filled cache slots during warmup.
 
         Returns (out (B, n, d), new_att_cache, new_conv_tail).
         """
@@ -185,8 +187,10 @@ class ConformerBlock(nn.Module):
         # warmup validity (absolute >= 0) => i >= L - min(seen, L).
         j = jax.lax.broadcasted_iota(jnp.int32, (n, L + n), 0)
         i = jax.lax.broadcasted_iota(jnp.int32, (n, L + n), 1)
-        mask = (i >= j) & (i <= j + L) & (i >= L - jnp.minimum(seen, L))
-        x = x + self.attn(y, window, mask=mask[None, None])
+        # scalar seen -> (1, 1, 1); per-stream (B,) seen -> (B, 1, 1)
+        lo = (L - jnp.minimum(jnp.asarray(seen), L)).reshape(-1, 1, 1)
+        mask = ((i >= j) & (i <= j + L))[None] & (i[None] >= lo)
+        x = x + self.attn(y, window, mask=mask[:, None])
         c_out, new_tail = self.conv.step(x, conv_tail)
         x = x + c_out
         x = x + 0.5 * self.ff2(x)

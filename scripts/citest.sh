@@ -6,5 +6,5 @@
 set -e
 M="${1:-not slow}"
 python -m pytest tests/test_recursion.py tests/test_golden.py tests/test_pallas_kernels.py tests/test_alignment.py -q -m "$M"
-python -m pytest tests/test_lattice.py tests/test_losses.py tests/test_pruning.py tests/test_edge_cases.py -q -m "$M"
+python -m pytest tests/test_lattice.py tests/test_losses.py tests/test_pruning.py tests/test_edge_cases.py tests/test_serving.py -q -m "$M"
 python -m pytest tests/test_stress.py tests/test_parallel.py tests/test_models.py tests/test_decoding.py tests/test_streaming.py tests/test_multiprocess.py tests/test_csrc.py tests/test_features.py tests/test_utils_and_checkpoint.py -q -m "$M"
