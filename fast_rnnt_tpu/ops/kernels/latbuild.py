@@ -475,8 +475,31 @@ def _build(lm, am, symbols, te_fix, precision, blank, modified, out_dtype,
     )[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _build_fwd_partitioned(precision, blank, modified, out_dtype, interpret):
+    from .partition import batch_partitioned
+
+    core = functools.partial(
+        _build_core_fwd, precision=precision, blank=blank,
+        modified=modified, out_dtype=out_dtype, interpret=interpret,
+    )
+    return batch_partitioned(
+        core, (0, 0, 0, 0), (1, 1), (3, 3, 2, 1), (3, 3), name="latbuild_fwd"
+    )
+
+
 def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
                out_dtype, interpret):
+    out = _build_fwd_partitioned(
+        precision, blank, modified, jnp.dtype(out_dtype), bool(interpret)
+    )(lm, am, symbols, te_fix)
+    return out, (lm, am, symbols, te_fix)
+
+
+def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
+                    out_dtype, interpret):
+    """pallas_call body of the fused build (per-shard shapes under the
+    GSPMD wrapper, ops/kernels/partition.py)."""
     B, T, C = am.shape
     S1 = lm.shape[1]
     S = S1 - 1
@@ -520,12 +543,39 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
         interpret=interpret,
         compiler_params=_PARAMS_FWD,
     )(lmp, side, am)
-    return (px_rows, py_rows), (lm, am, symbols, te_fix)
+    return px_rows, py_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd_partitioned(precision, blank, modified, interpret):
+    from .partition import batch_partitioned
+
+    core = functools.partial(
+        _build_core_bwd, precision=precision, blank=blank,
+        modified=modified, interpret=interpret,
+    )
+    return batch_partitioned(
+        core, (0, 0, 0, 0, 1, 1), (0, 0), (3, 3, 2, 1, 3, 3), (3, 3),
+        name="latbuild_bwd",
+    )
 
 
 def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
     lm, am, symbols, te_fix = res
     dpx, dpy = cots
+    d_am, d_lm = _build_bwd_partitioned(
+        precision, blank, modified, bool(interpret)
+    )(lm, am, symbols, te_fix, dpx, dpy)
+    d_lm = d_lm.astype(lm.dtype)
+    return (
+        d_lm, d_am,
+        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
+        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
+    )
+
+
+def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
+                    modified, interpret):
     B, T, C = am.shape
     S1 = lm.shape[1]
     S = S1 - 1
@@ -572,12 +622,7 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
         compiler_params=_PARAMS_BWD,
     )(lmp, side, am, dpx, dpy)
 
-    d_lm = d_lm.astype(lm.dtype)
-    return (
-        d_lm, d_am,
-        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
-        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
-    )
+    return d_am, d_lm
 
 
 _build.defvjp(_build_fwd, _build_bwd)
@@ -602,6 +647,18 @@ def lattice_rows_fused(
     """
     if interpret is None:
         interpret = _interpret_default()
+    from .wavefront import vma_blocks_interpret
+
+    if vma_blocks_interpret(interpret, lm, am):
+        # interpret mode inside a vma-checked shard_map cannot evaluate
+        # the kernel (see wavefront.vma_blocks_interpret) — the XLA einsum
+        # build is the parity-tested equivalent
+        from ..lattice import get_rnnt_logprobs_rows
+
+        return get_rnnt_logprobs_rows(
+            lm, am, symbols, termination_symbol, rnnt_type, boundary,
+            out_dtype=out_dtype, impl="xla",
+        )
     B, T, C = am.shape
 
     if rnnt_type == "constrained":
@@ -653,8 +710,31 @@ def _build_parts(lm, am, symbols, te_fix, uni, precision, blank, modified,
     )[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _build_parts_fwd_partitioned(precision, blank, modified, interpret):
+    from .partition import batch_partitioned
+
+    core = functools.partial(
+        _build_parts_core_fwd, precision=precision, blank=blank,
+        modified=modified, interpret=interpret,
+    )
+    # uni is batch-free (replicated); the three outputs are s-major rows
+    return batch_partitioned(
+        core, (0, 0, 0, 0, None), (1, 1, 1), (3, 3, 2, 1, 1), (3, 3, 3),
+        name="latbuild_parts_fwd",
+    )
+
+
 def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
                      modified, interpret):
+    out = _build_parts_fwd_partitioned(
+        precision, blank, modified, bool(interpret)
+    )(lm, am, symbols, te_fix, uni)
+    return out, (lm, am, symbols, te_fix, uni)
+
+
+def _build_parts_core_fwd(lm, am, symbols, te_fix, uni, *, precision, blank,
+                          modified, interpret):
     B, T, C = am.shape
     S1 = lm.shape[1]
     S = S1 - 1
@@ -699,12 +779,41 @@ def _build_parts_fwd(lm, am, symbols, te_fix, uni, precision, blank,
         interpret=interpret,
         compiler_params=_PARAMS_FWD,
     )(lmp, side, uni_row, am)
-    return (px_rows, py_rows, nd_rows), (lm, am, symbols, te_fix, uni)
+    return px_rows, py_rows, nd_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _build_parts_bwd_partitioned(precision, blank, modified, interpret):
+    from .partition import batch_partitioned
+
+    core = functools.partial(
+        _build_parts_core_bwd, precision=precision, blank=blank,
+        modified=modified, interpret=interpret,
+    )
+    # d_uni is a reduction over the batch: summed across shards
+    return batch_partitioned(
+        core, (0, 0, 0, 0, None, 1, 1, 1), (0, 0, "sum"),
+        (3, 3, 2, 1, 1, 3, 3, 3), (3, 3, 2),
+        name="latbuild_parts_bwd",
+    )
 
 
 def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
     lm, am, symbols, te_fix, uni = res
     dpx, dpy, dnd = cots
+    d_am, d_lm, d_uni = _build_parts_bwd_partitioned(
+        precision, blank, modified, bool(interpret)
+    )(lm, am, symbols, te_fix, uni, dpx, dpy, dnd)
+    return (
+        d_lm.astype(lm.dtype), d_am,
+        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
+        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
+        d_uni.reshape(uni.shape).astype(uni.dtype),
+    )
+
+
+def _build_parts_core_bwd(lm, am, symbols, te_fix, uni, dpx, dpy, dnd, *,
+                          precision, blank, modified, interpret):
     B, T, C = am.shape
     S1 = lm.shape[1]
     S = S1 - 1
@@ -762,12 +871,7 @@ def _build_parts_bwd(precision, blank, modified, interpret, res, cots):
         compiler_params=_PARAMS_BWD,
     )(lmp, side, uni_row, am, dpx, dpy, dnd)
 
-    return (
-        d_lm.astype(lm.dtype), d_am,
-        np.zeros(symbols.shape, dtype=jax.dtypes.float0),
-        np.zeros(te_fix.shape, dtype=jax.dtypes.float0),
-        d_uni.reshape(uni.shape).astype(uni.dtype),
-    )
+    return d_am, d_lm, d_uni
 
 
 _build_parts.defvjp(_build_parts_fwd, _build_parts_bwd)
@@ -793,6 +897,15 @@ def lattice_rows_fused_smoothed(
     """
     if interpret is None:
         interpret = _interpret_default()
+    from .wavefront import vma_blocks_interpret
+
+    if vma_blocks_interpret(interpret, lm, am):
+        from ..lattice import get_rnnt_logprobs_smoothed_rows
+
+        return get_rnnt_logprobs_smoothed_rows(
+            lm, am, symbols, termination_symbol, lm_only_scale,
+            am_only_scale, boundary, rnnt_type, impl="xla",
+        )
     B, T, C = am.shape
     S = lm.shape[1] - 1
     from ..lattice import matmul_precision

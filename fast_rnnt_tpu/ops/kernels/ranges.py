@@ -163,10 +163,42 @@ def window_argmax_rows_pallas(
     fuse_post = boundary is not None
     if fuse_post and adjust_step is None:
         raise ValueError("adjust_step is required with boundary")
-    from .wavefront import _interpret_default, _out_struct
+    from .wavefront import _interpret_default
 
     if interpret is None:
         interpret = _interpret_default()
+
+    args = [py_grad_rows, px_grad_rows]
+    if fuse_post:
+        args.append(boundary.astype(jnp.int32))
+    return _ranges_partitioned(
+        int(K), bool(interpret), int(adjust_step or 0), fuse_post
+    )(*args)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _ranges_partitioned(K: int, interpret: bool, adjust_step: int,
+                        fuse_post: bool):
+    from .partition import batch_partitioned
+
+    core = functools.partial(
+        _ranges_core, K=K, interpret=interpret, adjust_step=adjust_step,
+    )
+    in_axes = (1, 1) + ((0,) if fuse_post else ())
+    in_ranks = (3, 3) + ((2,) if fuse_post else ())
+    return batch_partitioned(
+        core, in_axes, (0,), in_ranks, (2,), name="prune_ranges"
+    )
+
+
+def _ranges_core(py_grad_rows, px_grad_rows, *maybe_bvec,
+                 K: int, interpret: bool, adjust_step: int):
+    """pallas_call body (per-shard shapes under the GSPMD wrapper)."""
+    from .wavefront import _out_struct
+
+    S1, B, T = py_grad_rows.shape
+    boundary = maybe_bvec[0] if maybe_bvec else None
+    fuse_post = boundary is not None
 
     W = _ceil_to(T, LANE)
     bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
@@ -193,7 +225,7 @@ def window_argmax_rows_pallas(
             pl.BlockSpec((bblk, 4), lambda ib, i: (ib, 0),
                          memory_space=pltpu.VMEM)
         )
-        inputs.append(boundary.astype(jnp.int32))
+        inputs.append(boundary)
     sbegin = pl.pallas_call(
         kernel,
         grid=grid,
@@ -210,5 +242,10 @@ def window_argmax_rows_pallas(
             pltpu.VMEM((bblk, W), jnp.int32),
         ],
         interpret=interpret,
+        # batch blocks independent (scratch re-seeded at i == 0 / i == K-1
+        # per block); the s dim carries the rolling window — sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(*inputs)[0]
-    return sbegin
+    return (sbegin,)

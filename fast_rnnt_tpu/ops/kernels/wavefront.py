@@ -54,23 +54,53 @@ __all__ = [
 LANE = 128
 SUBLANE = 8
 
-# interpret-mode default for this process (set by register(interpret=True)
-# in CPU test environments); explicit interpret= args override it.
-_INTERPRET = False
+# Process-default interpret mode, shared by every kernel family (latbuild
+# and ranges import _interpret_default from here).  Tri-state:
+#   None  — auto: interpret iff the live default backend is CPU
+#   True  — force interpret (CPU test environments)
+#   False — force compiled pallas_call even on a CPU host; this is the
+#           seam the TPU cross-lowering gate uses to make
+#           jit(...).lower(lowering_platforms=("tpu",)) emit Mosaic.
+# Set via register(interpret=...); explicit interpret= args override it.
+_INTERPRET: Optional[bool] = None
 
 
 def _interpret_default() -> bool:
-    """Per-call interpret default: the process flag, OR a live check that
-    the active backend is CPU.  The live check matters when a process
-    initializes on TPU (caching impl="pallas") and is then re-platformed
-    to a virtual-CPU mesh — e.g. the driver's multi-chip dry-run — where
-    a non-interpret pallas_call cannot lower."""
-    if _INTERPRET:
-        return True
+    """Per-call interpret default: the process flag if forced, else a live
+    check that the active backend is CPU.  The live check matters when a
+    process initializes on TPU (caching impl="pallas") and is then
+    re-platformed to a virtual-CPU mesh — e.g. the driver's multi-chip
+    dry-run — where a non-interpret pallas_call cannot lower."""
+    if _INTERPRET is not None:
+        return _INTERPRET
     try:
         return jax.default_backend() == "cpu"
     except Exception:
         return False
+
+
+def vma_blocks_interpret(interpret: bool, *arrays) -> bool:
+    """True when pallas INTERPRET mode cannot run here: inputs carry
+    varying-manual-axes (inside a ``jax.shard_map`` with vma checking).
+
+    jax >= 0.9's hlo interpreter re-evaluates the traced kernel jaxpr
+    under the outer shard_map trace, where kernel-internal constants
+    (iotas, identity matrices) have empty vma while the inputs vary —
+    strict-vma primitives (dot_general, dynamic_slice) then reject the
+    mix.  COMPILED pallas_calls are unaffected (Mosaic traces the kernel
+    vma-free; the pallas_call boundary's vma comes from the out_shape
+    structs).  Callers that get True must route to their XLA-equivalent
+    implementation — numerically parity-tested, and interpret mode only
+    exists on CPU hosts anyway."""
+    if not interpret:
+        return False
+    for a in arrays:
+        try:
+            if getattr(jax.typeof(a), "vma", None):
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -248,57 +278,32 @@ def _fwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
     scores_ref[:, :] = jnp.where(hit, val, scores_ref[:, :])
 
 
-def forward_rows_pallas(
-    px_rows: jax.Array,
-    py_rows: jax.Array,
-    boundary: jax.Array,
-    lo: Optional[jax.Array] = None,
-    K: int = 0,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Forward lattice on TPU, s-major.
-
-    Args:
-      px_rows: (S, B, T+1) regular / (S, B, T) modified — UNMASKED.
-      py_rows: (S+1, B, T) — unmasked.
-      boundary: (B, 4) int32.
-      lo: optional (B, T) pruning-band lower bounds (ranges[:, :, 0]); with
-        static width ``K`` the recursion sees the band-masked lattice
-        without one ever being materialized.
-
-    Returns (p_rows, scores): p_rows is the (S+1, B, W) lane-padded
-    internal lattice (the backward's residual), scores is [B].
-    """
+def _fwd_core(px_rows, py_rows, bvec, *maybe_lo, K: int, interpret: bool):
+    """pallas_call body of the forward (shapes may be PER-SHARD under the
+    GSPMD wrapper — everything derives from the argument shapes)."""
     S, B, T1 = px_rows.shape
     T = py_rows.shape[2]
     modified = T1 == T
-    if interpret is None:
-        interpret = _interpret_default()
-
-    if S == 0:
-        # empty transcripts: a zero-row px makes the row BlockSpec
-        # degenerate; the single-row lattice is trivial for the XLA core
-        from ..recursion import _forward_rows_xla
-
-        return _forward_rows_xla(px_rows, py_rows, boundary, lo=lo, K=K)
-
+    # edge-pad to width T+1 so the regular px column t = T sees the last
+    # frame's band (band_mask_rows does the same edge pad); done here so
+    # the pad never sees sharded avals (explicit-sharding slice rules)
+    lo_ext = (
+        jnp.pad(maybe_lo[0].astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
+        if maybe_lo else None
+    )
     W = _ceil_to(T + 1, LANE)
     bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
     nb = _cdiv(B, bblk)
     grid = (nb, S + 1)
 
-    bvec = boundary.astype(jnp.int32)  # (B, 4)
     row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
     bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
     score_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
 
-    banded = lo is not None
+    banded = lo_ext is not None
     inputs = [bvec]
     in_specs = [bvec_spec]
     if banded:
-        # edge-pad to width T+1 so the regular px column t = T sees the last
-        # frame's band (band_mask_rows does the same edge pad)
-        lo_ext = jnp.pad(lo.astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
         inputs.append(lo_ext)
         in_specs.append(
             pl.BlockSpec((bblk, W), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
@@ -329,13 +334,80 @@ def forward_rows_pallas(
             # production scale.  Found by the on-chip parity gate; costs
             # ~6 MB / ~8 µs at the benchmark shape.  The XLA core keeps
             # its p residual f32 the same way (_forward_rows_xla).
-            _out_struct((S + 1, B, W), jnp.float32, px_rows, py_rows, boundary),
-            _out_struct((B, 1), jnp.float32, px_rows, py_rows, boundary),
+            _out_struct((S + 1, B, W), jnp.float32, px_rows, py_rows, bvec),
+            _out_struct((B, 1), jnp.float32, px_rows, py_rows, bvec),
         ],
         scratch_shapes=[pltpu.VMEM((bblk, W), jnp.float32)],
         interpret=interpret,
+        # the s dim is the sequential recursion; batch blocks are
+        # independent (each re-seeds its scratch at s == 0), so megacore
+        # parts may split them across cores
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(*inputs)
 
+    return p_rows, scores_pad
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(K: int, interpret: bool, banded: bool):
+    from .partition import batch_partitioned
+
+    core = functools.partial(_fwd_core, K=K, interpret=interpret)
+    in_axes = (1, 1, 0) + ((0,) if banded else ())
+    in_ranks = (3, 3, 2) + ((2,) if banded else ())
+    return batch_partitioned(
+        core, in_axes, (1, 0), in_ranks, (3, 2), name="mi_fwd"
+    )
+
+
+def forward_rows_pallas(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward lattice on TPU, s-major.
+
+    Args:
+      px_rows: (S, B, T+1) regular / (S, B, T) modified — UNMASKED.
+      py_rows: (S+1, B, T) — unmasked.
+      boundary: (B, 4) int32.
+      lo: optional (B, T) pruning-band lower bounds (ranges[:, :, 0]); with
+        static width ``K`` the recursion sees the band-masked lattice
+        without one ever being materialized.
+
+    Composes with GSPMD: batch-sharded inputs under plain ``jit`` are
+    detected by the ``batch_partitioned`` wrapper (ops/kernels/
+    partition.py) and the kernel runs per-shard with no collectives.
+    (Like the wrapper, this entry has no ``vmap`` batching rule.)
+
+    Returns (p_rows, scores): p_rows is the (S+1, B, W) lane-padded
+    internal lattice (the backward's residual), scores is [B].
+    """
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    if interpret is None:
+        interpret = _interpret_default()
+
+    if S == 0 or vma_blocks_interpret(interpret, px_rows, py_rows):
+        # S == 0: empty transcripts make the row BlockSpec degenerate;
+        # vma: interpret mode cannot run inside a vma-checked shard_map
+        # (see vma_blocks_interpret) — either way the XLA core is exact
+        from ..recursion import _forward_rows_xla
+
+        return _forward_rows_xla(px_rows, py_rows, boundary, lo=lo, K=K)
+
+    bvec = boundary.astype(jnp.int32)
+    args = [px_rows, py_rows, bvec]
+    if lo is not None:
+        args.append(lo)
+    p_rows, scores_pad = _fwd_partitioned(
+        int(K), bool(interpret), lo is not None
+    )(*args)
     return p_rows, scores_pad[:, 0]
 
 
@@ -398,31 +470,17 @@ def _bwd_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
     pnext_scratch[:, :] = p_cur
 
 
-def backward_rows_pallas(
-    px_rows: jax.Array,
-    py_rows: jax.Array,
-    p_rows: jax.Array,
-    boundary: jax.Array,
-    ans_grad: jax.Array,
-    lo: Optional[jax.Array] = None,
-    K: int = 0,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Occupancy/backward lattice on TPU, s-major; consumes the padded
-    p_rows residual from forward_rows_pallas.  Returns (px_grad_rows,
-    py_grad_rows) in the unpadded s-major input shapes."""
+def _bwd_core(px_rows, py_rows, p_rows, bvec, ag, *maybe_lo,
+              K: int, interpret: bool):
+    """pallas_call body of the backward (shapes may be PER-SHARD under
+    the GSPMD wrapper)."""
     S, B, T1 = px_rows.shape
     T = py_rows.shape[2]
     modified = T1 == T
-    if interpret is None:
-        interpret = _interpret_default()
-
-    if S == 0:
-        from ..recursion import _backward_rows_xla
-
-        return _backward_rows_xla(
-            px_rows, py_rows, p_rows, boundary, ans_grad, lo=lo, K=K
-        )
+    lo_ext = (
+        jnp.pad(maybe_lo[0].astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
+        if maybe_lo else None
+    )
 
     W = p_rows.shape[2]
     bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
@@ -430,18 +488,16 @@ def backward_rows_pallas(
     grid = (nb, S + 1)
     dt = px_rows.dtype
 
-    bvec = boundary.astype(jnp.int32)
-    ag = ans_grad.astype(jnp.float32)[:, None]  # (B, 1)
+    ag = ag.astype(jnp.float32)[:, None]  # (B, 1)
 
     row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
     bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
     ag_spec = pl.BlockSpec((bblk, 1), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
 
-    banded = lo is not None
+    banded = lo_ext is not None
     inputs = [bvec]
     in_specs = [bvec_spec]
     if banded:
-        lo_ext = jnp.pad(lo.astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
         inputs.append(lo_ext)
         in_specs.append(
             pl.BlockSpec((bblk, W), lambda ib, s: (ib, 0), memory_space=pltpu.VMEM)
@@ -468,17 +524,67 @@ def backward_rows_pallas(
             row_spec(lambda ib, s: (S - s, ib, 0)),
         ],
         out_shape=[
-            _out_struct((S, B, T1), dt, px_rows, py_rows, p_rows, ans_grad),
-            _out_struct((S + 1, B, T), dt, px_rows, py_rows, p_rows, ans_grad),
+            _out_struct((S, B, T1), dt, px_rows, py_rows, p_rows, ag),
+            _out_struct((S + 1, B, T), dt, px_rows, py_rows, p_rows, ag),
         ],
         scratch_shapes=[
             pltpu.VMEM((bblk, W), jnp.float32),
             pltpu.VMEM((bblk, W), jnp.float32),
         ],
         interpret=interpret,
+        # batch blocks are independent (the s == S step masks the scratch
+        # reads), so megacore parts may split them; s stays sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(*inputs)
 
     return pxg_rows, pyg_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(K: int, interpret: bool, banded: bool):
+    from .partition import batch_partitioned
+
+    core = functools.partial(_bwd_core, K=K, interpret=interpret)
+    in_axes = (1, 1, 1, 0, 0) + ((0,) if banded else ())
+    in_ranks = (3, 3, 3, 2, 1) + ((2,) if banded else ())
+    return batch_partitioned(
+        core, in_axes, (1, 1), in_ranks, (3, 3), name="mi_bwd"
+    )
+
+
+def backward_rows_pallas(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    p_rows: jax.Array,
+    boundary: jax.Array,
+    ans_grad: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Occupancy/backward lattice on TPU, s-major; consumes the padded
+    p_rows residual from forward_rows_pallas.  GSPMD-composable like the
+    forward (see forward_rows_pallas).  Returns (px_grad_rows,
+    py_grad_rows) in the unpadded s-major input shapes."""
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    if interpret is None:
+        interpret = _interpret_default()
+
+    if S == 0 or vma_blocks_interpret(interpret, px_rows, py_rows):
+        from ..recursion import _backward_rows_xla
+
+        return _backward_rows_xla(
+            px_rows, py_rows, p_rows, boundary, ans_grad, lo=lo, K=K
+        )
+
+    bvec = boundary.astype(jnp.int32)
+    args = [px_rows, py_rows, p_rows, bvec, ans_grad]
+    if lo is not None:
+        args.append(lo)
+    return _bwd_partitioned(int(K), bool(interpret), lo is not None)(*args)
 
 
 # -----------------------------------------------------------------------------

@@ -112,10 +112,14 @@ def _use_fused_build(lm, am, symbols, impl=None) -> bool:
         return False  # degenerate shapes: the XLA build handles them
     if am.dtype not in (jnp.float32, jnp.bfloat16) or lm.dtype != am.dtype:
         return False
+    if impl == "xla":
+        # an explicit "xla" wins even over a forced "fused" knob: it is
+        # both the documented whole-program opt-out AND the route the
+        # fused kernels' own interpret-mode fallback takes (latbuild ->
+        # get_rnnt_logprobs_rows(impl="xla") must not recurse)
+        return False
     if _LATTICE_BUILD_IMPL == "fused":
         return True
-    if impl == "xla":
-        return False
     if am.shape[0] * am.shape[1] < _FUSED_BUILD_MIN_BT:
         return False  # measured crossover, see _FUSED_BUILD_MIN_BT
     from .recursion import _resolve_default

