@@ -1,4 +1,6 @@
-"""On-chip ablation of the fused lattice-build forward kernel.
+"""On-chip ablation of the ROUND-3 (retired) fused lattice-build forward
+kernel design — kept as the historical attribution record that motivated
+the round-4 batched rewrite (see ops/kernels/latbuild.py docstring).
 
 The round-3 A/B (benchmarks/components.py) measured the fused build
 SLOWER than the XLA einsum build at the benchmark shape (fwd 590 vs
@@ -201,7 +203,10 @@ def build_v2(norm_split):
     S1 = S + 1
 
     def fn(lm, am, symbols):
-        lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, 0)
+        # round 4: _lm_parts returns B-major; this harness probes the
+        # RETIRED round-3 lane-stacked kernel design, so transpose back
+        lmmax_t, lmp, pxlm_t, pylm_t = (lambda a, b, c, d: (a.T, b, c.T, d.T))(
+            *_lm_parts(lm, symbols, 0))
         te_row = jnp.full((1, B), -1.0, jnp.float32)
         side = _pad_lane(jnp.concatenate(
             [lmmax_t, pxlm_t, pylm_t, symbols.astype(jnp.float32).T, te_row],
@@ -250,7 +255,10 @@ def build_variant(**kw):
     S1 = S + 1
 
     def fn(lm, am, symbols):
-        lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, 0)
+        # round 4: _lm_parts returns B-major; this harness probes the
+        # RETIRED round-3 lane-stacked kernel design, so transpose back
+        lmmax_t, lmp, pxlm_t, pylm_t = (lambda a, b, c, d: (a.T, b, c.T, d.T))(
+            *_lm_parts(lm, symbols, 0))
         te_row = _pad_lane(jnp.full((1, B), -1.0, jnp.float32))
         kernel = functools.partial(_variant_kernel, bblk=bblk, **kw)
         clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))

@@ -25,13 +25,15 @@ what autodiff already keeps alive: lm, am, symbols), emits d_am tiles
 directly, and accumulates d_lm in a VMEM scratch across the sequential
 t-block grid dimension.
 
-Layout note (why every formula below is oriented the way it is): per-t
-quantities must end up on the LANE axis and per-s quantities on the
-sublane axis.  The am tile is (LANE=t, C); its per-t max/shift broadcast
-naturally along C, and every per-t ROW vector the math needs (the blank
-column, the symbol gathers) is produced directly in row orientation by
-an MXU contraction over C — there is not a single vector transpose or
-sublane<->lane relayout in either kernel.
+Layout note (round 4, BATCHED): the bblk batch rows ride every
+contraction as a dot_general batch dimension — the kernel body is a
+handful of large batched ops, not a per-b Python loop of small ones.
+Per-(b, s) side quantities ship as (bblk, S?) B-major slabs consumed
+directly (the round-3 lane-axis stacking + per-b one-hot extraction
+matvecs are retired).  Measured same-process A/B at the headline shape
+(B=30, T=1000, S=100, C=500, fp32): forward 384.5 -> 240.0 us at
+bit-identical max error vs the XLA build (5.05e-5 on px/py for both) —
+the per-row structure, not the math, was the round-3 cost.
 
 Numerics match the XLA build: same formula and stability shifts (the
 maxes are stop-gradient on both paths, so neither backward carries
@@ -178,79 +180,99 @@ def _dotn(a_parts, b_parts, dims):
     return out
 
 
+def _bdot(a, b, dims, precision=None):
+    """Batch-dim dot_general (batch axis 0 on both operands) with f32
+    accumulation; same bf16-native rule as _dot."""
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        precision = None
+    contract, = (dims,) if isinstance(dims[0], int) else (dims,)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((contract[0], contract[1]), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _bdotn(a_parts, b_parts, dims):
+    """Batched split matmul (see _dotn): leading-order part pairs only."""
+    out = None
+    for i, a in enumerate(a_parts):
+        for j, b in enumerate(b_parts):
+            if i and j:
+                continue
+            t = _bdot(a, b, dims)
+            out = t if out is None else out + t
+    return out
+
+
 def _build_fwd_kernel(
     *refs,
     S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
     precision, mxu_dtype, parts: bool,
 ):
+    """BATCHED formulation (round 4): every contraction carries the
+    bblk batch rows as a dot_general batch dim, so the kernel body is a
+    handful of large ops instead of a per-b Python loop of small ones.
+    Same-process A/B at the headline shape (B=30, T=1000, S=100, C=500,
+    fp32): 384.5 -> 240.0 us at BIT-IDENTICAL error vs the XLA build
+    (max abs 5.05e-5 on px/py for both) — the per-row structure, not
+    the math, was the round-3 kernel's cost."""
     if parts:
-        (lmp_ref, side_ref, uni_ref, am_ref, px_ref, py_ref, nd_ref) = refs
+        (lmp_ref, sym_ref, pxlm_ref, pylm_ref, lmmax_ref, te_ref, uni_ref,
+         am_ref, px_ref, py_ref, nd_ref) = refs
     else:
-        (lmp_ref, side_ref, am_ref, px_ref, py_ref) = refs
+        (lmp_ref, sym_ref, pxlm_ref, pylm_ref, lmmax_ref, te_ref,
+         am_ref, px_ref, py_ref) = refs
     S1 = S + 1
     f32 = mxu_dtype != jnp.bfloat16
-    ib = pl.program_id(0)
     it = pl.program_id(1)
-    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
     cf = c_iota.astype(jnp.float32)
-    blank_oh = (c_iota == blank).astype(jnp.bfloat16)  # (1, C), exact
-    # the side inputs ship STACKED in one (2*S1+2*S+1, B_pad) array with
-    # batch on lanes; one extraction matvec per row recovers all five
-    # per-b vectors at once (the per-input extraction was measured at
-    # ~30% of the whole kernel, benchmarks/latbuild_variants.py)
-    lane0 = (ib * bblk) % LANE
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
-    for i in range(bblk):
-        sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
-        side = _extract_col(side_ref, sel)  # (2*S1+2*S+1, 1)
-        lmmax_col = side[:S1]
-        pxlm_col = side[S1:S1 + S]
-        pylm_col = side[S1 + S:2 * S1 + S]
-        sym_col = side[2 * S1 + S:2 * S1 + 2 * S]  # f32 ids (< 2^24 exact)
-        te_col = side[2 * S1 + 2 * S:2 * S1 + 2 * S + 1]
+    a32 = am_ref[...].astype(jnp.float32)      # (bblk, LANE, C)
+    amax = jnp.max(a32, axis=2, keepdims=True)  # (bblk, LANE, 1)
+    ashift = a32 - amax                         # (bblk, LANE, C) f32
+    ash_parts = _msplit(ashift, 3, f32)         # exact in f32 mode
+    amp = jnp.exp(ashift).astype(mxu_dtype)
+    lmp = lmp_ref[...]                          # (bblk, S1, C)
+    d = _bdot(lmp, amp, ((2,), (2,)), precision) + _TINY  # (bblk, S1, LANE)
+    # norm == log(D) + lmmax + amax; the amax term is folded into the
+    # shifted am-side gathers below so no per-t row vector is needed
+    lognorm = jnp.log(d) + lmmax_ref[...][:, :, None]  # (bblk, S1, LANE)
 
-        a32 = am_ref[i].astype(jnp.float32)  # (LANE, C)
-        amax = jnp.max(a32, axis=1, keepdims=True)  # (LANE, 1)
-        ashift = a32 - amax  # (LANE, C) f32
-        ash_parts = _msplit(ashift, 3, f32)  # exact in f32 mode
-        amp = jnp.exp(ashift).astype(mxu_dtype)
-        lmp_i = lmp_ref[i]  # (S1, C)
-        d = _dot(lmp_i, amp, ((1,), (1,)), precision) + _TINY  # (S1, LANE)
-        # norm == log(D) + lmmax + amax; the amax term is folded into the
-        # shifted am-side gathers below so no per-t row vector is needed
-        lognorm = jnp.log(d) + lmmax_col  # (S1, LANE)
+    oh = (sym_ref[...][:, :, None] == cf).astype(jnp.bfloat16)  # (b, S, C)
+    # px_am - amax: one-hot gather as a split matmul — the one-hot is
+    # exact in bf16 and the 3-term split reconstructs all 24 mantissa
+    # bits, matching a HIGHEST contraction at half the MXU passes
+    px_am = _bdotn((oh,), ash_parts, ((2,), (2,)))  # (bblk, S, LANE)
+    px = px_am + pxlm_ref[...][:, :, None] - lognorm[:, :S]
+    if not modified:
+        # the appended t = T column is -inf (no symbol on the one-past-
+        # the-end frame) and fix_for_boundary's te column likewise;
+        # te is -1 when no boundary was given (never matches)
+        te = te_ref[...][:, :, None].astype(jnp.int32)  # (bblk, 1, 1)
+        px = jnp.where((tg == T) | (tg == te), NEG_INF, px)
 
-        oh = (sym_col == cf).astype(jnp.bfloat16)  # (S, C), exact
-        # px_am - amax: one-hot gather as a split matmul — the one-hot is
-        # exact in bf16 and the 3-term split reconstructs all 24 mantissa
-        # bits, so this matches the old HIGHEST contraction (measured
-        # 9.5e-7 max abs err) at half the MXU passes
-        px_am = _dotn((oh,), ash_parts, ((1,), (1,)))  # (S, LANE)
-        px = px_am + pxlm_col - lognorm[:S]
-        if not modified:
-            # the appended t = T column is -inf (no symbol on the one-past-
-            # the-end frame) and fix_for_boundary's te column likewise;
-            # te is -1 when no boundary was given (never matches)
-            kill = (tg == T) | (tg.astype(jnp.float32) == te_col)
-            px = jnp.where(kill, NEG_INF, px)
+    # blank column of the shifted am (the XLA build takes an exact
+    # slice here) — same exact split contraction, reusing the parts
+    blank_b = jnp.broadcast_to(
+        (c_iota == blank).astype(jnp.bfloat16), (bblk, 1, C)
+    )
+    blank_row = _bdotn((blank_b,), ash_parts, ((2,), (2,)))  # (bblk, 1, LANE)
+    py = blank_row + pylm_ref[...][:, :, None] - lognorm
 
-        # blank column of the shifted am (the XLA build takes an exact
-        # slice here) — same exact split contraction, reusing the parts
-        blank_row = _dotn((blank_oh,), ash_parts, ((1,), (1,)))  # (1, LANE)
-        py = blank_row + pylm_col - lognorm
+    px_ref[...] = jnp.transpose(px, (1, 0, 2)).astype(px_ref.dtype)
+    py_ref[...] = jnp.transpose(py, (1, 0, 2)).astype(py_ref.dtype)
 
-        px_ref[:, i, :] = px.astype(px_ref.dtype)
-        py_ref[:, i, :] = py.astype(py_ref.dtype)
-
-        if parts:
-            # normd[s, t] = norm[s, t] - amonly[t] — the only form the
-            # smoothed interpolation needs; the am_max shifts cancel
-            # exactly in the difference, so the whole am-only normalizer
-            # reduces to one extra matvec on the resident tile
-            duni = _dot(uni_ref[...], amp, ((1,), (1,)), precision)  # (1, LANE)
-            nd_ref[:, i, :] = (lognorm - jnp.log(duni)).astype(nd_ref.dtype)
+    if parts:
+        # normd[s, t] = norm[s, t] - amonly[t] — the only form the
+        # smoothed interpolation needs; the am_max shifts cancel
+        # exactly in the difference, so the whole am-only normalizer
+        # reduces to one extra batched matvec on the resident tile
+        uni_b = jnp.broadcast_to(uni_ref[...][None], (bblk, 1, C))
+        duni = _bdot(uni_b, amp, ((2,), (2,)), precision)  # (bblk, 1, LANE)
+        nd = lognorm - jnp.log(duni)
+        nd_ref[...] = jnp.transpose(nd, (1, 0, 2)).astype(nd_ref.dtype)
 
 
 def _build_bwd_kernel(
@@ -258,12 +280,15 @@ def _build_bwd_kernel(
     S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
     precision, mxu_dtype, nt_am: int, parts: bool, Btotal: int = 0,
 ):
+    """Batched backward (round 4, same rationale as _build_fwd_kernel):
+    the bblk batch rows ride every contraction as a dot_general batch
+    dim — no per-b Python loop."""
     if parts:
-        (lmp_ref, side_ref, uni_ref, am_ref, dpx_ref,
+        (lmp_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
          dpy_ref, dnd_ref, dam_ref, dlm_ref, duni_ref,
          dlm_acc, duni_acc) = refs
     else:
-        (lmp_ref, side_ref, am_ref, dpx_ref, dpy_ref,
+        (lmp_ref, sym_ref, te_ref, am_ref, dpx_ref, dpy_ref,
          dam_ref, dlm_ref, dlm_acc) = refs
     S1 = S + 1
     f32 = mxu_dtype != jnp.bfloat16
@@ -271,146 +296,122 @@ def _build_bwd_kernel(
     ib = pl.program_id(0)
     nt = pl.num_programs(1)
     nb = pl.num_programs(0)
-    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    tg = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
     cf = c_iota.astype(jnp.float32)
-    tmask = tg < T  # (1, LANE): pallas pads t-edge blocks with garbage
-    lane0 = (ib * bblk) % LANE
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-    # f32 + HIGHEST: the transpose matvecs below have a 1-sized output
-    # dim (LANE, LANE) @ (1, LANE) — negligible MXU cost, and the f32
-    # path is the one Mosaic lowers cleanly (a bf16 split form trips a
-    # vector.broadcast type-verification error)
-    eye_lane = (
-        jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    ).astype(jnp.float32)
-    blank_f32 = (c_iota == blank).astype(jnp.float32)  # (1, C)
+    tmask = tg < T  # (1, 1, LANE): pallas pads t-edge blocks with garbage
+    blank_f32 = (c_iota == blank).astype(jnp.float32)  # (1, 1, C)
 
-    # t mask in column orientation for the am tile's rows: padded t rows
-    # hold garbage (possibly NaN) and 0 * NaN = NaN inside an MXU
-    # contraction, so they must be zeroed BEFORE any dot over t
-    tcol = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    # t mask in row orientation for the am tiles: padded t rows hold
+    # garbage (possibly NaN) and 0 * NaN = NaN inside an MXU contraction,
+    # so they must be zeroed BEFORE any dot over t
+    trow = it * LANE + jax.lax.broadcasted_iota(jnp.int32, (1, LANE, 1), 1)
 
-    for i in range(bblk):
-        sel = (b_iota == lane0 + i).astype(jnp.float32)  # (LANE, 1)
-        side = _extract_col(side_ref, sel)  # (S + 1, 1)
-        sym_col = side[:S]  # (S, 1) f32 ids
-        te_col = side[S:S + 1]  # (1, 1)
-        a32 = am_ref[i].astype(jnp.float32)
-        amax = jnp.max(a32, axis=1, keepdims=True)
-        amp32 = jnp.where(tcol < T, jnp.exp(a32 - amax), 0.0)  # (LANE, C) f32
-        amp = amp32.astype(mxu_dtype)
-        amp_parts = _msplit(amp32, 2, f32)
-        lmp_i = lmp_ref[i]  # (S1, C)
-        lmp_parts = _msplit(lmp_i.astype(jnp.float32), 2, f32)
-        # normalizer recompute: only ever used as the 1/D gradient weight
-        # below, so a ~2^-16-relative split matmul replaces the forward's
-        # HIGHEST contraction (3 one-pass matmuls instead of 6)
-        d = _dotn(lmp_parts, amp_parts, ((1,), (1,))) + _TINY  # (S1, LANE)
+    a32 = am_ref[...].astype(jnp.float32)       # (bblk, LANE, C)
+    amax = jnp.max(a32, axis=2, keepdims=True)
+    amp32 = jnp.where(trow < T, jnp.exp(a32 - amax), 0.0)
+    amp = amp32.astype(mxu_dtype)
+    amp_parts = _msplit(amp32, 2, f32)
+    lmp32 = lmp_ref[...].astype(jnp.float32)    # (bblk, S1, C)
+    lmp_parts = _msplit(lmp32, 2, f32)
+    # normalizer recompute: only ever used as the 1/D gradient weight
+    # below, so a ~2^-16-relative split matmul replaces the forward's
+    # HIGHEST contraction
+    d = _bdotn(lmp_parts, amp_parts, ((2,), (2,))) + _TINY  # (b, S1, LANE)
 
-        dpx = dpx_ref[:, i, :].astype(jnp.float32)  # (S, LANE)
-        dpy = dpy_ref[:, i, :].astype(jnp.float32)  # (S1, LANE)
-        if not modified:
-            # cotangents of the constant -inf columns don't flow anywhere
-            dpx = jnp.where(
-                (tg == T) | (tg.astype(jnp.float32) == te_col), 0.0, dpx
-            )
-        dpx = jnp.where(tmask, dpx, 0.0)
-        dpy = jnp.where(tmask, dpy, 0.0)
+    dpx = jnp.transpose(dpx_ref[...], (1, 0, 2)).astype(jnp.float32)
+    dpy = jnp.transpose(dpy_ref[...], (1, 0, 2)).astype(jnp.float32)
+    if not modified:
+        # cotangents of the constant -inf columns don't flow anywhere
+        te = te_ref[...][:, :, None].astype(jnp.int32)  # (bblk, 1, 1)
+        dpx = jnp.where((tg == T) | (tg == te), 0.0, dpx)
+    dpx = jnp.where(tmask, dpx, 0.0)  # (bblk, S, LANE)
+    dpy = jnp.where(tmask, dpy, 0.0)  # (bblk, S1, LANE)
 
-        # d norm[s, t] = -(dpx[s, t] (rows < S) + dpy[s, t]); w = d norm / D.
-        # The t mask matters: at padded t columns D is garbage (possibly
-        # NaN) and w feeds a contraction OVER t in the d_lm path.
-        dnorm = -(jnp.concatenate([dpx, jnp.zeros_like(dpx[:1])], axis=0) + dpy)
-        if parts:
-            # normd = norm - amonly is a third primal output; its cotangent
-            # adds to the norm path and subtracts (summed over s) from the
-            # am-only normalizer path
-            dnd = jnp.where(tmask, dnd_ref[:, i, :].astype(jnp.float32), 0.0)
-            dnorm = dnorm + dnd
-        w = jnp.where(tmask, dnorm / d, 0.0)  # (S1, LANE)
-        w_parts = _msplit(w, 2, f32)
-
-        # --- d_am tile (LANE, C) ---------------------------------------
-        # normalizer path (exp chain; the maxes are stop-gradient):
-        #   d_am[t, c] += amp[t, c] * sum_s lmp[s, c] * w[s, t]
-        dam = amp32 * _dotn(w_parts, lmp_parts, ((0,), (0,)))
-        # px one-hot gather path: d_am[t, c] += sum_s oh[s, c] * dpx[s, t]
-        # — the one-hot is exact in bf16, the 3-term dpx split is exact f32
-        oh = (sym_col == cf).astype(jnp.bfloat16)  # (S, C)
-        dam = dam + _dotn(_msplit(dpx, 3, f32), (oh,), ((0,), (0,)))
-        # py blank-column path: sum_s dpy[s, t] scattered to c == blank.
-        # A sublane-reduction + one tiny eye-transpose matvec replaces the
-        # old full (S1, C) HIGHEST contraction (which was ~20% of this
-        # kernel's MXU passes for a single output column)
-        colsum_row = jnp.sum(dpy, axis=0, keepdims=True)  # (1, LANE)
-        colsum = _dot(
-            eye_lane, colsum_row, ((1,), (1,)), jax.lax.Precision.HIGHEST
-        )  # (LANE, 1), exact
-        dam = dam + colsum * blank_f32
-
-        if parts:
-            # am-only normalizer path: amonly[t] = log sum_c uni[c]*amp[t,c]
-            # (+ amax, stop-grad), so d_am[t,c] += uni[c]*amp[t,c] * rd[t]
-            # with rd = d_amonly / D_uni and d_amonly[t] = -sum_s dnd[s,t]
-            uni = uni_ref[...]  # (1, C)
-            duni_row = _dot(uni, amp, ((1,), (1,)), precision)  # (1, LANE)
-            rd_row = jnp.where(
-                tmask, -jnp.sum(dnd, axis=0, keepdims=True) / duni_row, 0.0
-            )  # (1, LANE)
-            # row -> column via one identity matvec (no vector relayout)
-            rd_col = _dot(
-                eye_lane, rd_row, ((1,), (1,)), jax.lax.Precision.HIGHEST
-            )  # (LANE, 1)
-            dam = dam + amp32 * (rd_col * uni.astype(jnp.float32))
-            # d_uni[c] = sum_{b,t} amp[t,c] * rd[t], accumulated across the
-            # WHOLE grid (both dimensions) in a scratch, flushed at the end
-            duni_i = _dot(rd_row.astype(mxu_dtype), amp, ((1,), (0,)),
-                          precision)  # (1, C)
-            # batch-padding rows (i >= B in the last block) hold garbage;
-            # per-row OUTPUTS are dropped on store, but this accumulator
-            # crosses rows, so the garbage must be masked out explicitly
-            bvalid = ib * bblk + i < Btotal
-            duni_i = jnp.where(bvalid, duni_i, 0.0)
-            if i == 0:  # reset the accumulator on the first grid step
-                prev_u = jnp.where((it > 0) | (ib > 0), duni_acc[0:1], 0.0)
-            else:
-                prev_u = duni_acc[0:1]
-            duni_acc[0:1] = prev_u + duni_i
-
-        @pl.when(it < nt_am)
-        def _():
-            dam_ref[i] = dam.astype(dam_ref.dtype)
-
-        # --- d_lm accumulation (S1, C) over the sequential t blocks ----
-        dlm_i = lmp_i.astype(jnp.float32) * _dotn(
-            w_parts, amp_parts, ((1,), (0,))
-        )  # (S1, C): sum_t w[s, t] * amp[t, c]
-        # px_lm gather path (rows < S) and py_lm blank path
-        dlm_i = dlm_i + jnp.concatenate(
-            [
-                oh.astype(jnp.float32) * jnp.sum(dpx, axis=1, keepdims=True),
-                jnp.zeros((1, C), jnp.float32),
-            ],
-            axis=0,
+    # d norm[s, t] = -(dpx[s, t] (rows < S) + dpy[s, t]); w = d norm / D.
+    # The t mask matters: at padded t columns D is garbage (possibly NaN)
+    # and w feeds a contraction OVER t in the d_lm path.
+    dnorm = -(jnp.concatenate([dpx, jnp.zeros_like(dpx[:, :1])], axis=1) + dpy)
+    if parts:
+        # normd = norm - amonly is a third primal output; its cotangent
+        # adds to the norm path and subtracts (summed over s) from the
+        # am-only normalizer path
+        dnd = jnp.where(
+            tmask, jnp.transpose(dnd_ref[...], (1, 0, 2)).astype(jnp.float32),
+            0.0,
         )
-        dlm_i = dlm_i + (c_iota == blank).astype(jnp.float32) * jnp.sum(
-            dpy, axis=1, keepdims=True
+        dnorm = dnorm + dnd
+    w = jnp.where(tmask, dnorm / d, 0.0)  # (bblk, S1, LANE)
+    w_parts = _msplit(w, 2, f32)
+
+    # --- d_am tiles (bblk, LANE, C) -----------------------------------
+    # normalizer path (exp chain; the maxes are stop-gradient):
+    #   d_am[t, c] += amp[t, c] * sum_s lmp[s, c] * w[s, t]
+    dam = amp32 * _bdotn(w_parts, lmp_parts, ((1,), (1,)))
+    # px one-hot gather path: d_am[t, c] += sum_s oh[s, c] * dpx[s, t]
+    # — the one-hot is exact in bf16, the 3-term dpx split is exact f32
+    oh = (sym_ref[...][:, :, None] == cf).astype(jnp.bfloat16)  # (b, S, C)
+    dam = dam + _bdotn(_msplit(dpx, 3, f32), (oh,), ((1,), (1,)))
+    # py blank-column path: sum_s dpy[s, t] scattered to c == blank
+    colsum = jnp.transpose(
+        jnp.sum(dpy, axis=1, keepdims=True), (0, 2, 1)
+    )  # (bblk, LANE, 1)
+    dam = dam + colsum * blank_f32
+
+    if parts:
+        # am-only normalizer path: amonly[t] = log sum_c uni[c]*amp[t,c]
+        # (+ amax, stop-grad), so d_am[t,c] += uni[c]*amp[t,c] * rd[t]
+        # with rd = d_amonly / D_uni and d_amonly[t] = -sum_s dnd[s,t]
+        uni = uni_ref[...]  # (1, C)
+        uni_b = jnp.broadcast_to(uni[None], (bblk, 1, C))
+        duni_row = _bdot(uni_b, amp, ((2,), (2,)), precision)  # (b, 1, LANE)
+        rd_row = jnp.where(
+            tmask, -jnp.sum(dnd, axis=1, keepdims=True) / duni_row, 0.0
+        )  # (b, 1, LANE)
+        rd_col = jnp.transpose(rd_row, (0, 2, 1))  # (b, LANE, 1)
+        dam = dam + amp32 * (rd_col * uni.astype(jnp.float32)[None])
+        # d_uni[c] = sum_{b,t} amp[t,c] * rd[t], accumulated across the
+        # WHOLE grid in a scratch, flushed at the end.  Batch-padding
+        # rows (>= B) hold garbage; per-row OUTPUTS are dropped on store,
+        # but this accumulator crosses rows — mask them explicitly.
+        duni_i = _bdot(rd_row.astype(mxu_dtype), amp, ((2,), (1,)),
+                       precision)  # (b, 1, C)
+        bvalid = (
+            ib * bblk + jax.lax.broadcasted_iota(jnp.int32, (bblk, 1, 1), 0)
+            < Btotal
         )
+        duni_sum = jnp.sum(jnp.where(bvalid, duni_i, 0.0), axis=0)  # (1, C)
+        prev_u = jnp.where((it > 0) | (ib > 0), duni_acc[...], 0.0)
+        duni_acc[...] = prev_u + duni_sum
 
-        prev = jnp.where(it > 0, dlm_acc[i], 0.0)
-        dlm_acc[i] = prev + dlm_i
+    @pl.when(it < nt_am)
+    def _():
+        dam_ref[...] = dam.astype(dam_ref.dtype)
 
-        @pl.when(it == nt - 1)
-        def _():
-            dlm_ref[i] = dlm_acc[i].astype(dlm_ref.dtype)
+    # --- d_lm accumulation (bblk, S1, C) over the sequential t blocks --
+    dlm_i = lmp32 * _bdotn(w_parts, amp_parts, ((2,), (1,)))
+    # px_lm gather path (rows < S) and py_lm blank path
+    dlm_i = dlm_i + jnp.concatenate(
+        [
+            oh.astype(jnp.float32) * jnp.sum(dpx, axis=2, keepdims=True),
+            jnp.zeros((bblk, 1, C), jnp.float32),
+        ],
+        axis=1,
+    )
+    dlm_i = dlm_i + blank_f32 * jnp.sum(dpy, axis=2, keepdims=True)
+
+    prev = jnp.where(it > 0, dlm_acc[...], 0.0)
+    dlm_acc[...] = prev + dlm_i
+
+    @pl.when(it == nt - 1)
+    def _():
+        dlm_ref[...] = dlm_acc[...].astype(dlm_ref.dtype)
 
     if parts:
 
         @pl.when((it == nt - 1) & (ib == nb - 1))
         def _():
-            duni_ref[...] = duni_acc[0:1].astype(duni_ref.dtype)
+            duni_ref[...] = duni_acc[...].astype(duni_ref.dtype)
 
 
 def _shape_params(B: int, T: int, modified: bool):
@@ -444,8 +445,9 @@ def _stack_side_bwd(symbols, te_fix):
 
 def _lm_parts(lm, symbols, blank):
     """Tiny XLA precomputation shared by fwd and bwd: the lm softmax parts
-    and the per-(b, s) lm gathers, pre-transposed to s-major (batch on the
-    lane axis; the kernel extracts per-b columns with ``_extract_col``)."""
+    and the per-(b, s) lm gathers, B-major (batch on the sublane axis —
+    the batched kernels consume (bblk, S?) blocks directly; the round-3
+    lane-axis stacking + per-b extraction matvecs are retired)."""
     lm32 = lm.astype(jnp.float32)
     lmmax = jax.lax.stop_gradient(jnp.max(lm32, axis=2))  # (B, S1)
     lmp = jnp.exp(lm32 - lmmax[:, :, None])  # (B, S1, C)
@@ -454,9 +456,9 @@ def _lm_parts(lm, symbols, blank):
         symbols.astype(jnp.int32)[:, :, None]
         == jnp.arange(lm.shape[2], dtype=jnp.int32)
     )
-    pxlm_t = jnp.sum(lm32[:, :S, :] * oh, axis=2).T  # (S, B)
-    pylm_t = lm32[:, :, blank].T  # (S1, B)
-    return lmmax.T, lmp, pxlm_t, pylm_t  # lmmax also (S1, B)
+    pxlm = jnp.sum(lm32[:, :S, :] * oh, axis=2)  # (B, S)
+    pylm = lm32[:, :, blank]  # (B, S1)
+    return lmmax, lmp, pxlm, pylm
 
 
 def _mxu_dtype(am_dtype):
@@ -496,6 +498,15 @@ def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
     return out, (lm, am, symbols, te_fix)
 
 
+def _fwd_side_specs(bblk, S, S1):
+    """BlockSpecs for the B-major side inputs (sym, pxlm, pylm, lmmax,
+    te): per-batch-block 2-D slabs, lane dim = the full array dim."""
+    row = lambda n: pl.BlockSpec(
+        (bblk, n), lambda ib, it: (ib, 0), memory_space=pltpu.VMEM
+    )
+    return [row(S), row(S), row(S1), row(S1), row(1)]
+
+
 def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
                     out_dtype, interpret):
     """pallas_call body of the fused build (per-shard shapes under the
@@ -504,15 +515,12 @@ def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
     S1 = lm.shape[1]
     S = S1 - 1
     wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
-    lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, blank)
+    lmmax, lmp, pxlm, pylm = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
 
     lmp = lmp.astype(mxu_dtype)
-    # side inputs: ONE stacked (2*S1+2*S+1, B_pad) array, batch on lanes,
-    # padded to 128-lane blocks, f32 (ids and frame indices are < 2^24 so
-    # the one-hot extraction is exact); the kernel recovers all five per-b
-    # vectors with a single extraction matvec per row
-    side = _stack_side_fwd(lmmax_t, pxlm_t, pylm_t, symbols, te_fix)
+    symf = symbols.astype(jnp.float32)  # ids < 2^24: exact in f32
+    te2 = te_fix.astype(jnp.int32)[:, None]  # (B, 1)
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -525,7 +533,7 @@ def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(side.shape[0], bblk),  # stacked side (nside, B_pad)
+            *_fwd_side_specs(bblk, S, S1),  # sym, pxlm, pylm, lmmax, te
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -542,7 +550,7 @@ def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
         ],
         interpret=interpret,
         compiler_params=_PARAMS_FWD,
-    )(lmp, side, am)
+    )(lmp, symf, pxlm, pylm, lmmax, te2, am)
     return px_rows, py_rows
 
 
@@ -583,12 +591,16 @@ def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
     _, lmp, _, _ = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
-    side = _stack_side_bwd(symbols, te_fix)
+    symf = symbols.astype(jnp.float32)
+    te2 = te_fix.astype(jnp.int32)[:, None]  # (B, 1)
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
         bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
         parts=False,
+    )
+    row = lambda n: pl.BlockSpec(
+        (bblk, n), lambda ib, it: (ib, 0), memory_space=pltpu.VMEM
     )
     clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
     d_am, d_lm = pl.pallas_call(
@@ -597,7 +609,8 @@ def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S + 1, bblk),  # stacked side [sym | te]
+            row(S),  # sym (f32 ids)
+            row(1),  # te
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
@@ -620,7 +633,7 @@ def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
         scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
         interpret=interpret,
         compiler_params=_PARAMS_BWD,
-    )(lmp, side, am, dpx, dpy)
+    )(lmp, symf, te2, am, dpx, dpy)
 
     return d_am, d_lm
 
@@ -739,11 +752,12 @@ def _build_parts_core_fwd(lm, am, symbols, te_fix, uni, *, precision, blank,
     S1 = lm.shape[1]
     S = S1 - 1
     wpx, bblk, nb, nt, nt_am = _shape_params(B, T, modified)
-    lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts(lm, symbols, blank)
+    lmmax, lmp, pxlm, pylm = _lm_parts(lm, symbols, blank)
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    side = _stack_side_fwd(lmmax_t, pxlm_t, pylm_t, symbols, te_fix)
+    symf = symbols.astype(jnp.float32)
+    te2 = te_fix.astype(jnp.int32)[:, None]
 
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
@@ -756,7 +770,7 @@ def _build_parts_core_fwd(lm, am, symbols, te_fix, uni, *, precision, blank,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(side.shape[0], bblk),  # stacked side (nside, B_pad)
+            *_fwd_side_specs(bblk, S, S1),  # sym, pxlm, pylm, lmmax, te
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -778,7 +792,7 @@ def _build_parts_core_fwd(lm, am, symbols, te_fix, uni, *, precision, blank,
         ],
         interpret=interpret,
         compiler_params=_PARAMS_FWD,
-    )(lmp, side, uni_row, am)
+    )(lmp, symf, pxlm, pylm, lmmax, te2, uni_row, am)
     return px_rows, py_rows, nd_rows
 
 
@@ -822,12 +836,16 @@ def _build_parts_core_bwd(lm, am, symbols, te_fix, uni, dpx, dpy, dnd, *,
     mxu_dtype = _mxu_dtype(am.dtype)
     lmp = lmp.astype(mxu_dtype)
     uni_row = uni.reshape(1, C).astype(mxu_dtype)
-    side = _stack_side_bwd(symbols, te_fix)
+    symf = symbols.astype(jnp.float32)
+    te2 = te_fix.astype(jnp.int32)[:, None]
 
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
         bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
         parts=True, Btotal=B,
+    )
+    row = lambda n: pl.BlockSpec(
+        (bblk, n), lambda ib, it: (ib, 0), memory_space=pltpu.VMEM
     )
     clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
     d_am, d_lm, d_uni = pl.pallas_call(
@@ -836,7 +854,8 @@ def _build_parts_core_bwd(lm, am, symbols, te_fix, uni, dpx, dpy, dnd, *,
         in_specs=[
             pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),  # lmp
-            _side_spec(S + 1, bblk),  # stacked side [sym | te]
+            row(S),  # sym (f32 ids)
+            row(1),  # te
             pl.BlockSpec((1, C), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),  # uni
             pl.BlockSpec((bblk, LANE, C),
@@ -869,7 +888,7 @@ def _build_parts_core_bwd(lm, am, symbols, te_fix, uni, dpx, dpy, dnd, *,
         ],
         interpret=interpret,
         compiler_params=_PARAMS_BWD,
-    )(lmp, side, uni_row, am, dpx, dpy, dnd)
+    )(lmp, symf, te2, uni_row, am, dpx, dpy, dnd)
 
     return d_am, d_lm, d_uni
 

@@ -92,14 +92,14 @@ def set_lattice_build_impl(impl: str) -> None:
 
 
 # "auto" crossover between the fused Pallas build and the XLA einsum
-# build, from the round-3 on-chip A/B (BENCH.md "Fused lattice-build
-# kernels"): the fused kernels win 4-17% end-to-end at B*T >= 64k in
-# both precision modes (B=64/T=1000, B=128, B=8/T=12000, B=30/T=4000)
-# but lose at the small B=30/T=1000 shape (-3% fp32 / -15% bf16), where
-# the XLA build's residual traffic still fits comfortably and the
-# per-row kernel structure doesn't amortize.  Midpoint of the measured
-# bracket [30k, 64k]:
-_FUSED_BUILD_MIN_BT = 48_000
+# build.  Round-4 re-measurement after the BATCHED kernel rewrite
+# (latbuild.py; same-process full-step A/B on v5e): the fused build now
+# WINS the headline B=30/T=1000 shape it lost in round 3 — fp32 1,431
+# vs 1,575 us (-9%), bf16 1,027 vs 1,070 (-4%) — and keeps its round-3
+# wins at B*T >= 64k.  Small shapes still lose to XLA (B=8/T=500: +2.5x,
+# B=2/T=100: +60% — kernel launch/grid overhead doesn't amortize), with
+# the measured bracket now [4k loses, 30k wins]:
+_FUSED_BUILD_MIN_BT = 24_000
 
 
 def _use_fused_build(lm, am, symbols, impl=None) -> bool:
