@@ -41,6 +41,45 @@ def make_inputs(seed=0):
     return am, lm, symbols, boundary
 
 
+def _round_salt():
+    """Per-round parity salt (VERDICT r4 item 6): derive the parity-gate
+    input seed from git HEAD (override: FRT_BENCH_SALT env var) so each
+    round's parity numbers provably come from FRESH inputs — a gate whose
+    constants cannot move across kernel rewrites is a gate that cannot
+    fail loudly.  The golden-vector arm keeps its committed fixed inputs
+    for cross-round continuity; the TIMED workload also stays at seed 0
+    so step times remain comparable across rounds."""
+    import hashlib
+    import os
+    import subprocess
+
+    salt = os.environ.get("FRT_BENCH_SALT", "")
+    if not salt:
+        try:
+            salt = subprocess.run(
+                ["git", "rev-parse", "--short=12", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except Exception:
+            salt = ""
+    if not salt:
+        import time
+
+        salt = time.strftime("%Y%m%d")  # still fresh per day
+    seed = int(hashlib.sha256(salt.encode()).hexdigest()[:8], 16)
+    return salt, seed
+
+
+def _input_hash(arrays) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.asarray(a).tobytes())
+    return h.hexdigest()[:12]
+
+
 def step_fn(am, lm, symbols, boundary):
     lattice_dtype = jnp.bfloat16 if am.dtype == jnp.bfloat16 else None
 
@@ -77,8 +116,10 @@ def main():
     # production mode.  Enforced after the JSON is printed so the driver
     # records the numbers either way; a failure exits nonzero.
     parity_failed = None
+    salt, parity_seed = _round_salt()
+    parity_inputs = make_inputs(seed=parity_seed)
     try:
-        parity = onchip_parity_gate(*inputs, s_range=S_RANGE)
+        parity = onchip_parity_gate(*parity_inputs, s_range=S_RANGE)
         try:
             enforce_parity(parity)
         except FloatingPointError as e:
@@ -90,6 +131,8 @@ def main():
         parity["ok"] = parity_failed is None
     except Exception as e:  # infra failure != parity failure; keep timing
         parity = {"ok": None, "error": repr(e)[:200]}
+    parity["salt"] = salt
+    parity["input_hash"] = _input_hash(parity_inputs)
 
     # device-side timing loop: one dispatch runs ITERS full steps, so host
     # dispatch latency (~0.5 ms/call through remote tunnels) is excluded —

@@ -52,6 +52,16 @@ B, T, S, C = 30, 1000, 100, 500
 NEG_INF = -1e30
 
 
+def _lm_parts_lane_major(lm, symbols, blank):
+    """The retired round-3 lane-stacked layout of the lm side quantities
+    (batch on the LANE axis).  The live kernel's _lm_parts went B-major in
+    round 4; this harness probes the RETIRED design, so re-transpose here
+    — in ONE place, so a future _lm_parts layout change breaks loudly
+    instead of silently skewing the historical baseline (ADVICE r4)."""
+    lmmax, lmp, pxlm, pylm = _lm_parts(lm, symbols, blank)
+    return lmmax.T, lmp, pxlm.T, pylm.T
+
+
 def _variant_kernel(
     lmp_ref, lmmax_ref, pxlm_ref, pylm_ref, sym_ref, te_ref, am_ref,
     px_ref, py_ref,
@@ -203,10 +213,7 @@ def build_v2(norm_split):
     S1 = S + 1
 
     def fn(lm, am, symbols):
-        # round 4: _lm_parts returns B-major; this harness probes the
-        # RETIRED round-3 lane-stacked kernel design, so transpose back
-        lmmax_t, lmp, pxlm_t, pylm_t = (lambda a, b, c, d: (a.T, b, c.T, d.T))(
-            *_lm_parts(lm, symbols, 0))
+        lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts_lane_major(lm, symbols, 0)
         te_row = jnp.full((1, B), -1.0, jnp.float32)
         side = _pad_lane(jnp.concatenate(
             [lmmax_t, pxlm_t, pylm_t, symbols.astype(jnp.float32).T, te_row],
@@ -255,10 +262,7 @@ def build_variant(**kw):
     S1 = S + 1
 
     def fn(lm, am, symbols):
-        # round 4: _lm_parts returns B-major; this harness probes the
-        # RETIRED round-3 lane-stacked kernel design, so transpose back
-        lmmax_t, lmp, pxlm_t, pylm_t = (lambda a, b, c, d: (a.T, b, c.T, d.T))(
-            *_lm_parts(lm, symbols, 0))
+        lmmax_t, lmp, pxlm_t, pylm_t = _lm_parts_lane_major(lm, symbols, 0)
         te_row = _pad_lane(jnp.full((1, B), -1.0, jnp.float32))
         kernel = functools.partial(_variant_kernel, bblk=bblk, **kw)
         clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))

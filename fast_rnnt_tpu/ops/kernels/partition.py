@@ -113,18 +113,24 @@ class _BatchPartitioned:
 
     # --- shared sharding logic -------------------------------------------
 
-    def _find_batch(self, specs, shapes):
-        """Mesh-axis names the batch dim is sharded over (first operand
-        that has any), after the divisibility check; () when none."""
-        batch: Tuple[str, ...] = ()
+    def _find_batch(self, specs, shapes, mesh=None):
+        """Mesh-axis names the batch dim is sharded over.  When several
+        batch-carrying operands disagree (sharded over different mesh
+        axes), pick the candidate with the LARGEST mesh extent — the
+        others are resharded up to it, so no operand's parallelism is
+        silently dropped; () when none is sharded."""
+        candidates: list[Tuple[str, ...]] = []
         for spec, ax in zip(specs, self._in_axes):
             if spec is None or ax is None or ax >= len(spec):
                 continue
             names = _norm_axes(spec[ax])
-            if names:
-                batch = names
-                break
-        return batch
+            if names and names not in candidates:
+                candidates.append(names)
+        if not candidates:
+            return ()
+        if mesh is None or len(candidates) == 1:
+            return candidates[0]
+        return max(candidates, key=lambda n: _mesh_extent(mesh, n))
 
     def _divisible(self, batch, mesh, args_shapes) -> bool:
         if not batch:
@@ -173,7 +179,7 @@ class _BatchPartitioned:
         if not any_sharded or mesh is None:
             return self._fn(*args)
 
-        batch = self._find_batch(specs, [a.shape for a in args])
+        batch = self._find_batch(specs, [a.shape for a in args], mesh)
         if not _axis_types_ok(mesh, set().union(
             *[set(_norm_axes(e)) for s in specs if s is not None for e in s]
         )):
@@ -224,7 +230,7 @@ class _BatchPartitioned:
 
     def _shardings(self, mesh, arg_shapes, result_shapes):
         specs = [getattr(s.sharding, "spec", None) for s in arg_shapes]
-        batch = self._find_batch(specs, [s.shape for s in arg_shapes])
+        batch = self._find_batch(specs, [s.shape for s in arg_shapes], mesh)
         if not self._divisible(batch, mesh, [s.shape for s in arg_shapes]):
             batch = ()
         b = batch or None

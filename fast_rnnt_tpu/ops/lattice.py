@@ -104,8 +104,10 @@ _FUSED_BUILD_MIN_BT = 24_000
 
 def _use_fused_build(lm, am, symbols, impl=None) -> bool:
     """``impl`` is the caller's per-call recursion impl: an explicit
-    "xla" opts the whole program out of pallas (the documented GSPMD
-    escape hatch, ops/recursion.py), so the build honors it too."""
+    "xla" opts the whole program out of pallas (e.g. CPU dry-runs of a
+    TPU-initialized process), so the build honors it too.  (GSPMD users
+    don't need it: ops/kernels/partition.py composes the kernels with
+    batch-sharded inputs under plain jit.)"""
     if _LATTICE_BUILD_IMPL == "xla":
         return False
     if symbols.shape[1] == 0 or am.shape[1] == 0:

@@ -2,6 +2,7 @@ from .profiling import (
     annotate,
     benchmark_fn,
     benchmark_on_device,
+    collective_census,
     compiled_memory_mb,
     device_memory_stats,
     trace_to,
@@ -12,6 +13,7 @@ __all__ = [
     "annotate",
     "benchmark_fn",
     "benchmark_on_device",
+    "collective_census",
     "compiled_memory_mb",
     "device_memory_stats",
     "trace_to",

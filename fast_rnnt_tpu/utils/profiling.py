@@ -23,7 +23,47 @@ __all__ = [
     "benchmark_fn",
     "benchmark_on_device",
     "benchmark_carried_on_device",
+    "collective_census",
 ]
+
+_COLLECTIVE_KINDS = (
+    "all-reduce",
+    "all-gather",
+    "all-to-all",
+    "collective-permute",
+    "reduce-scatter",
+)
+
+
+def collective_census(compiled_text: str, lattice_dims=()) -> Dict[str, Any]:
+    """Count collective ops in an optimized HLO module and flag any that
+    move lattice-sized tensors.
+
+    ``lattice_dims`` are dimension extents (e.g. T and T+1) that only
+    occur in lattice-shaped arrays; a collective whose RESULT or any
+    OPERAND shape contains one of them is recorded in
+    ``census["lattice_moves"]``.  Covers reduce-scatter too — a
+    reduce-scatter whose large operand shrinks in the result would evade
+    a result-shape-only scan (ADVICE r4).  Counts op definitions
+    (``<name> = <shape> <kind>(...)``) including ``-start`` forms, not
+    ``-done`` bookkeeping."""
+    import re
+
+    census: Dict[str, Any] = {k: 0 for k in _COLLECTIVE_KINDS}
+    census["lattice_moves"] = []
+    dims = {str(int(d)) for d in lattice_dims}
+    for line in compiled_text.splitlines():
+        s = line.strip()
+        for kind in _COLLECTIVE_KINDS:
+            if f" {kind}(" in s or f" {kind}-start(" in s:
+                census[kind] += 1
+                if dims:
+                    # every shape on the line: result (lhs) and operands
+                    for shape in re.findall(r"\[([0-9,]+)\]", s):
+                        if dims & set(shape.split(",")):
+                            census["lattice_moves"].append(s[:160])
+                            break
+    return census
 
 
 @contextlib.contextmanager

@@ -198,17 +198,21 @@ def test_non_batch_axis_sharded_resharded(pallas_env):
     _assert_parity(got, want)
 
 
-def test_no_allgather_of_lattice_in_compiled_hlo(pallas_env):
-    """The compiled module must not all-gather the big per-shard arrays
-    (px/py/p rows) — the kernels are batch-local by construction."""
+def test_no_collective_moves_lattice_in_compiled_hlo(pallas_env):
+    """The compiled module must not move the big per-shard arrays (px/py/p
+    rows) across devices with ANY collective — all-gather, all-to-all,
+    collective-permute or reduce-scatter, any dtype — the kernels are
+    batch-local by construction.  Uses the shared census helper
+    (utils/profiling.py::collective_census), which also matches operand
+    shapes, so a reduce-scatter whose large operand shrinks in the result
+    cannot slip through (ADVICE r4)."""
+    from fast_rnnt_tpu.utils import collective_census
+
     B, T, S, C, K = 16, 50, 6, 24, 3
     lm, am, symbols, boundary = _inputs(B, T, S, C)
     step = _pruned_step(K)
     mesh = _explicit_mesh()
     args = _shard(mesh, lm, am, symbols, boundary)
     txt = jax.jit(step).lower(*args).compile().as_text()
-    for line in txt.splitlines():
-        if "all-gather" in line and "f32[" in line:
-            # any all-gather of a tensor with a T-sized trailing dim is a
-            # lattice/lattice-grad gather — forbidden
-            assert f",{T}]" not in line and f",{T + 1}]" not in line, line
+    census = collective_census(txt, lattice_dims=(T, T + 1))
+    assert not census["lattice_moves"], census["lattice_moves"]

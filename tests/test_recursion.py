@@ -270,7 +270,7 @@ def test_fuzz_boundaries_incl_nonzero_begins(trials):
     fresh set of XLA compiles on the one slow CI core)."""
     from fast_rnnt_tpu.ops.kernels import register
 
-    register(default=False, interpret=jax.default_backend() == "cpu")
+    register(default=False)  # auto interpret: live per-call backend check
     rng = np.random.default_rng(2024)
     for trial in range(trials):
         B = int(rng.integers(1, 4))
@@ -342,7 +342,7 @@ def test_bf16_storage_through_pallas():
     and track the f32 result to bf16 tolerance."""
     from fast_rnnt_tpu.ops.kernels import register
 
-    register(default=False, interpret=jax.default_backend() == "cpu")
+    register(default=False)  # auto interpret: live per-call backend check
     rng = np.random.default_rng(21)
     B, S, T = 2, 5, 9
     px, py = _random_pxpy(rng, B, S, T)
