@@ -207,8 +207,10 @@ def _bdotn(a_parts, b_parts, dims):
 def _build_fwd_kernel(
     *refs,
     S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
-    precision, mxu_dtype, parts: bool,
+    precision, mxu_dtype, parts: bool, save_d: bool = False,
 ):
+    if save_d:
+        *refs, d_ref = refs
     """BATCHED formulation (round 4): every contraction carries the
     bblk batch rows as a dot_general batch dim, so the kernel body is a
     handful of large ops instead of a per-b Python loop of small ones.
@@ -264,6 +266,16 @@ def _build_fwd_kernel(
     px_ref[...] = jnp.transpose(px, (1, 0, 2)).astype(px_ref.dtype)
     py_ref[...] = jnp.transpose(py, (1, 0, 2)).astype(py_ref.dtype)
 
+    if save_d:
+        # f32 mode: persist the normalizer denominator D for the VJP —
+        # the backward's D recompute is 3 one-pass split matmuls per tile
+        # (~130 µs at the benchmark shape) vs ~30 µs of extra traffic for
+        # this 12 MB residual; it also makes the gradient weights use the
+        # forward's EXACT HIGHEST-precision D instead of the ~2^-16 split
+        # approximation.  bf16 mode keeps the recompute (single-pass,
+        # cheaper than the traffic).
+        d_ref[...] = jnp.transpose(d, (1, 0, 2)).astype(d_ref.dtype)
+
     if parts:
         # normd[s, t] = norm[s, t] - amonly[t] — the only form the
         # smoothed interpolation needs; the am_max shifts cancel
@@ -279,10 +291,17 @@ def _build_bwd_kernel(
     *refs,
     S: int, C: int, T: int, modified: bool, blank: int, bblk: int,
     precision, mxu_dtype, nt_am: int, parts: bool, Btotal: int = 0,
+    save_d: bool = False,
 ):
     """Batched backward (round 4, same rationale as _build_fwd_kernel):
     the bblk batch rows ride every contraction as a dot_general batch
-    dim — no per-b Python loop."""
+    dim — no per-b Python loop.  With ``save_d`` the normalizer
+    denominator arrives as a residual input (f32 mode; see the forward
+    kernel) instead of being recomputed."""
+    d_res_ref = None
+    if save_d:
+        lmp_ref, sym_ref, te_ref, d_res_ref, *refs = refs
+        refs = (lmp_ref, sym_ref, te_ref, *refs)
     if parts:
         (lmp_ref, sym_ref, te_ref, uni_ref, am_ref, dpx_ref,
          dpy_ref, dnd_ref, dam_ref, dlm_ref, duni_ref,
@@ -314,10 +333,15 @@ def _build_bwd_kernel(
     amp_parts = _msplit(amp32, 2, f32)
     lmp32 = lmp_ref[...].astype(jnp.float32)    # (bblk, S1, C)
     lmp_parts = _msplit(lmp32, 2, f32)
-    # normalizer recompute: only ever used as the 1/D gradient weight
-    # below, so a ~2^-16-relative split matmul replaces the forward's
-    # HIGHEST contraction
-    d = _bdotn(lmp_parts, amp_parts, ((2,), (2,))) + _TINY  # (b, S1, LANE)
+    if save_d:
+        # f32 mode: the forward's exact D rides in as a residual (see
+        # _build_fwd_kernel) — saves 3 one-pass matmuls per tile
+        d = jnp.transpose(d_res_ref[...], (1, 0, 2)).astype(jnp.float32)
+    else:
+        # normalizer recompute: only ever used as the 1/D gradient weight
+        # below, so a ~2^-16-relative split matmul replaces the forward's
+        # HIGHEST contraction
+        d = _bdotn(lmp_parts, amp_parts, ((2,), (2,))) + _TINY  # (b,S1,LANE)
 
     dpx = jnp.transpose(dpx_ref[...], (1, 0, 2)).astype(jnp.float32)
     dpy = jnp.transpose(dpy_ref[...], (1, 0, 2)).astype(jnp.float32)
@@ -478,24 +502,40 @@ def _build(lm, am, symbols, te_fix, precision, blank, modified, out_dtype,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fwd_partitioned(precision, blank, modified, out_dtype, interpret):
+def _build_fwd_partitioned(precision, blank, modified, out_dtype, interpret,
+                           save_d=False):
     from .partition import batch_partitioned
 
     core = functools.partial(
         _build_core_fwd, precision=precision, blank=blank,
         modified=modified, out_dtype=out_dtype, interpret=interpret,
+        save_d=save_d,
     )
+    out_axes = (1, 1, 1) if save_d else (1, 1)
+    out_ranks = (3, 3, 3) if save_d else (3, 3)
     return batch_partitioned(
-        core, (0, 0, 0, 0), (1, 1), (3, 3, 2, 1), (3, 3), name="latbuild_fwd"
+        core, (0, 0, 0, 0), out_axes, (3, 3, 2, 1), out_ranks,
+        name="latbuild_fwd",
     )
+
+
+# f32 mode persists the normalizer denominator D for the VJP (see
+# _build_fwd_kernel's save_d note); bf16 keeps the cheap recompute.
+# Module switch for A/B measurement.
+_SAVE_D = True
 
 
 def _build_fwd(lm, am, symbols, te_fix, precision, blank, modified,
                out_dtype, interpret):
+    save_d = _SAVE_D and _mxu_dtype(am.dtype) != jnp.bfloat16
     out = _build_fwd_partitioned(
-        precision, blank, modified, jnp.dtype(out_dtype), bool(interpret)
+        precision, blank, modified, jnp.dtype(out_dtype), bool(interpret),
+        save_d,
     )(lm, am, symbols, te_fix)
-    return out, (lm, am, symbols, te_fix)
+    if save_d:
+        px_rows, py_rows, d_rows = out
+        return (px_rows, py_rows), (lm, am, symbols, te_fix, d_rows)
+    return out, (lm, am, symbols, te_fix, None)
 
 
 def _fwd_side_specs(bblk, S, S1):
@@ -508,7 +548,7 @@ def _fwd_side_specs(bblk, S, S1):
 
 
 def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
-                    out_dtype, interpret):
+                    out_dtype, interpret, save_d=False):
     """pallas_call body of the fused build (per-shard shapes under the
     GSPMD wrapper, ops/kernels/partition.py)."""
     B, T, C = am.shape
@@ -525,9 +565,26 @@ def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
     kernel = functools.partial(
         _build_fwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
         bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, parts=False,
+        save_d=save_d,
     )
     clamp = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
-    px_rows, py_rows = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        _out_struct((S, B, wpx), out_dtype, lm, am),
+        _out_struct((S1, B, T), out_dtype, lm, am),
+    ]
+    if save_d:
+        out_specs.append(
+            pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(_out_struct((S1, B, T), jnp.float32, lm, am))
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, nt),
         in_specs=[
@@ -538,42 +595,39 @@ def _build_core_fwd(lm, am, symbols, te_fix, *, precision, blank, modified,
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
                          memory_space=pltpu.VMEM),  # am
         ],
-        out_specs=[
-            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S1, bblk, LANE), clamp(nt_am),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            _out_struct((S, B, wpx), out_dtype, lm, am),
-            _out_struct((S1, B, T), out_dtype, lm, am),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=_PARAMS_FWD,
     )(lmp, symf, pxlm, pylm, lmmax, te2, am)
-    return px_rows, py_rows
+    return tuple(outs)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_bwd_partitioned(precision, blank, modified, interpret):
+def _build_bwd_partitioned(precision, blank, modified, interpret,
+                           save_d=False):
     from .partition import batch_partitioned
 
     core = functools.partial(
         _build_core_bwd, precision=precision, blank=blank,
-        modified=modified, interpret=interpret,
+        modified=modified, interpret=interpret, save_d=save_d,
     )
+    in_axes = (0, 0, 0, 0) + ((1,) if save_d else ()) + (1, 1)
+    in_ranks = (3, 3, 2, 1) + ((3,) if save_d else ()) + (3, 3)
     return batch_partitioned(
-        core, (0, 0, 0, 0, 1, 1), (0, 0), (3, 3, 2, 1, 3, 3), (3, 3),
+        core, in_axes, (0, 0), in_ranks, (3, 3),
         name="latbuild_bwd",
     )
 
 
 def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
-    lm, am, symbols, te_fix = res
+    lm, am, symbols, te_fix, d_rows = res
     dpx, dpy = cots
+    save_d = d_rows is not None
+    rest = (d_rows, dpx, dpy) if save_d else (dpx, dpy)
     d_am, d_lm = _build_bwd_partitioned(
-        precision, blank, modified, bool(interpret)
-    )(lm, am, symbols, te_fix, dpx, dpy)
+        precision, blank, modified, bool(interpret), save_d
+    )(lm, am, symbols, te_fix, *rest)
     d_lm = d_lm.astype(lm.dtype)
     return (
         d_lm, d_am,
@@ -582,8 +636,12 @@ def _build_bwd(precision, blank, modified, out_dtype, interpret, res, cots):
     )
 
 
-def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
-                    modified, interpret):
+def _build_core_bwd(lm, am, symbols, te_fix, *rest, precision, blank,
+                    modified, interpret, save_d=False):
+    if save_d:
+        d_rows, dpx, dpy = rest
+    else:
+        d_rows, (dpx, dpy) = None, rest
     B, T, C = am.shape
     S1 = lm.shape[1]
     S = S1 - 1
@@ -597,28 +655,39 @@ def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
     kernel = functools.partial(
         _build_bwd_kernel, S=S, C=C, T=T, modified=modified, blank=blank,
         bblk=bblk, precision=precision, mxu_dtype=mxu_dtype, nt_am=nt_am,
-        parts=False,
+        parts=False, save_d=save_d,
     )
     row = lambda n: pl.BlockSpec(
         (bblk, n), lambda ib, it: (ib, 0), memory_space=pltpu.VMEM
     )
     clamp3 = lambda n: (lambda ib, it: (0, ib, jnp.minimum(it, n - 1)))
+    in_specs = [
+        pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),  # lmp
+        row(S),  # sym (f32 ids)
+        row(1),  # te
+    ]
+    inputs = [lmp, symf, te2]
+    if save_d:
+        in_specs.append(
+            pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
+                         memory_space=pltpu.VMEM)  # D residual
+        )
+        inputs.append(d_rows)
+    in_specs += [
+        pl.BlockSpec((bblk, LANE, C),
+                     lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
+                     memory_space=pltpu.VMEM),  # am
+        pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
+                     memory_space=pltpu.VMEM),  # dpx
+        pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
+                     memory_space=pltpu.VMEM),  # dpy
+    ]
+    inputs += [am, dpx, dpy]
     d_am, d_lm = pl.pallas_call(
         kernel,
         grid=(nb, nt),
-        in_specs=[
-            pl.BlockSpec((bblk, S1, C), lambda ib, it: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),  # lmp
-            row(S),  # sym (f32 ids)
-            row(1),  # te
-            pl.BlockSpec((bblk, LANE, C),
-                         lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
-                         memory_space=pltpu.VMEM),  # am
-            pl.BlockSpec((S, bblk, LANE), lambda ib, it: (0, ib, it),
-                         memory_space=pltpu.VMEM),  # dpx
-            pl.BlockSpec((S1, bblk, LANE), clamp3(nt_am),
-                         memory_space=pltpu.VMEM),  # dpy
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bblk, LANE, C),
                          lambda ib, it: (ib, jnp.minimum(it, nt_am - 1), 0),
@@ -633,7 +702,7 @@ def _build_core_bwd(lm, am, symbols, te_fix, dpx, dpy, *, precision, blank,
         scratch_shapes=[pltpu.VMEM((bblk, S1, C), jnp.float32)],
         interpret=interpret,
         compiler_params=_PARAMS_BWD,
-    )(lmp, symf, te2, am, dpx, dpy)
+    )(*inputs)
 
     return d_am, d_lm
 

@@ -46,6 +46,7 @@ from ..numerics import NEG_INF, logaddexp, safe_exp
 __all__ = [
     "forward_rows_pallas",
     "backward_rows_pallas",
+    "fused_rows_pallas",
     "forward_lattice_pallas",
     "backward_lattice_pallas",
     "register",
@@ -585,6 +586,258 @@ def backward_rows_pallas(
     if lo is not None:
         args.append(lo)
     return _bwd_partitioned(int(K), bool(interpret), lo is not None)(*args)
+
+
+# -----------------------------------------------------------------------------
+# fused two-phase kernel: forward + occupancy backward in ONE launch
+# -----------------------------------------------------------------------------
+#
+# The calc_gradients=True path (ops/recursion.py:_rows_with_grads_impl —
+# the workhorse of BOTH stages of the fused pruned pipelines) runs the
+# forward and the occupancy backward back-to-back in the primal, exactly
+# like the reference op computes its grads inside the forward Compute
+# call (tf_fast_rnnt_op.cc:89-111).  Splitting that into two pallas_calls
+# forces the p lattice through HBM (write S+1 rows, read them back) and
+# reads px/py twice.  This kernel runs both phases in one launch over a
+# grid (nb, 2*(S+1)): steps 0..S are the ascending forward rows, steps
+# S+1..2S+1 the descending backward rows, with the p lattice carried in a
+# VMEM scratch that never touches HBM.  Per stage this saves the p
+# write+read (~25 MB at the benchmark shape) plus one kernel launch; the
+# arithmetic is IDENTICAL to the split kernels (same op sequence, f32
+# carries), so results are bit-equal.
+#
+# ans_grad is fixed at 1 (occupancy semantics); the custom_vjp rescales
+# (recursion.py:_mi_rows_with_grads_bwd), so this needs no seed input.
+
+# p scratch cap: (S+1, bblk, W) f32 must fit VMEM alongside the row
+# blocks (headline shape: 101*32*1024*4 = 13.2 MB).  bblk steps down
+# 32 -> 16 -> 8 to fit; shapes that exceed the cap even at bblk=8 fall
+# back to the split kernels (e.g. T=12000/S=200: 77 MB).
+_P_SCRATCH_CAP = 26 * 1024 * 1024
+_FUSED_VMEM = pltpu.CompilerParams(
+    vmem_limit_bytes=48 * 1024 * 1024,
+    dimension_semantics=("parallel", "arbitrary"),
+)
+
+
+def _fused_kernel(*refs, S: int, modified: bool, banded: bool, K: int):
+    if banded:
+        (bvec_ref, lo_ref, px_ref, py_ref, scores_ref, pxg_ref, pyg_ref,
+         p_store, c1, c2) = refs
+        lo = lo_ref[...]
+    else:
+        (bvec_ref, px_ref, py_ref, scores_ref, pxg_ref, pyg_ref,
+         p_store, c1, c2) = refs
+        lo = None
+
+    u = pl.program_id(1)
+    bvec = bvec_ref[...]
+    pxr = px_ref[0].astype(jnp.float32)
+    pyr = py_ref[0].astype(jnp.float32)
+    t = jax.lax.broadcasted_iota(jnp.int32, pxr.shape, 1)
+    neg = jnp.full_like(pxr, NEG_INF)
+
+    @pl.when(u <= S)
+    def _fwd():
+        # ascending phase: row s = u; bodies identical to _fwd_kernel
+        s = u
+        pxm, pym = _row_masks(s - 1, s, bvec, t, modified, lo, K)
+        px_eff = jnp.where(pxm, pxr, neg)
+        py_eff = jnp.where(pym, pyr, neg)
+        prev = c1[:, :]
+        if modified:
+            a = _shift_right(prev + px_eff, 1, NEG_INF)
+        else:
+            a = prev + px_eff
+        a = jnp.where(s > 0, a, neg)
+        b = jnp.where(
+            (bvec[:, 0:1] == s) & (t == bvec[:, 1:2]), jnp.zeros_like(a), a
+        )
+        coeff = _shift_right(py_eff, 1, NEG_INF)
+        p_row = _log_scan_row(coeff, b)
+        p_store[pl.ds(s, 1)] = p_row[None]
+        c1[:, :] = p_row
+        val = jnp.max(
+            jnp.where(t == bvec[:, 3:4], p_row, neg), axis=1, keepdims=True
+        )
+
+        @pl.when(u == 0)
+        def _():
+            scores_ref[:, :] = jnp.full_like(scores_ref[:, :], NEG_INF)
+
+        hit = bvec[:, 2:3] == s
+        scores_ref[:, :] = jnp.where(hit, val, scores_ref[:, :])
+
+    @pl.when(u > S)
+    def _bwd():
+        # descending phase: row s = 2S+1-u; bodies identical to _bwd_kernel
+        # with ans_grad = 1.  c1 doubles as the g carry (its phase-A
+        # leftover is masked at s == S), c2 as the p[s+1] carry.
+        s = 2 * S + 1 - u
+        p_cur = p_store[pl.ds(s, 1)][0]
+        pxm, pym = _row_masks(s, s, bvec, t, modified, lo, K)
+        px_eff = jnp.where(pxm, pxr, neg)
+        py_eff = jnp.where(pym, pyr, neg)
+
+        zeros = jnp.zeros_like(p_cur)
+        g_next = jnp.where(s < S, c1[:, :], zeros)
+        p_next = jnp.where(s < S, c2[:, :], zeros)
+
+        if modified:
+            term1 = safe_exp(p_cur + px_eff - _shift_left(p_next, 1, 0.0))
+            h_px = term1 * _shift_left(g_next, 1, 0.0)
+        else:
+            term1 = safe_exp(p_cur + px_eff - p_next)
+            h_px = term1 * g_next
+
+        seed = jnp.where(
+            (bvec[:, 2:3] == s) & (t == bvec[:, 3:4]), 1.0, 0.0
+        )
+        b = h_px + seed.astype(h_px.dtype)
+        term2 = safe_exp(p_cur + py_eff - _shift_left(p_cur, 1, 0.0))
+        g = _rev_linear_scan_row(term2, b)
+
+        pxg_ref[0] = h_px.astype(pxg_ref.dtype)
+        pyg_ref[0] = (term2 * _shift_left(g, 1, 0.0)).astype(pyg_ref.dtype)
+        c1[:, :] = g
+        c2[:, :] = p_cur
+
+
+def _fused_core(px_rows, py_rows, bvec, *maybe_lo, K: int, interpret: bool,
+                bblk: int):
+    """pallas_call body of the fused two-phase recursion (per-shard shapes
+    under the GSPMD wrapper)."""
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    modified = T1 == T
+    lo_ext = (
+        jnp.pad(maybe_lo[0].astype(jnp.int32), ((0, 0), (0, 1)), mode="edge")
+        if maybe_lo else None
+    )
+    W = _ceil_to(T + 1, LANE)
+    nb = _cdiv(B, bblk)
+    grid = (nb, 2 * (S + 1))
+    dt = px_rows.dtype
+
+    # phase-aware block maps.  Input rows: ascending wants px row u-1 /
+    # py row u, descending wants px row min(s, S-1) / py row s.  Output
+    # rows: during the ascending phase pxg/pyg park on the same index the
+    # first descending step writes (S-1 / S), so no flush of an unwritten
+    # buffer ever lands on a row another step owns (sequential grid, the
+    # s = S step's zeros and every parked block are overwritten in order).
+    def px_map(ib, u):
+        return (
+            jnp.where(u <= S, jnp.maximum(u - 1, 0),
+                      jnp.minimum(2 * S + 1 - u, S - 1)),
+            ib, 0,
+        )
+
+    def py_map(ib, u):
+        return (jnp.where(u <= S, u, 2 * S + 1 - u), ib, 0)
+
+    def pxg_map(ib, u):
+        return (
+            jnp.where(u <= S, S - 1, jnp.minimum(2 * S + 1 - u, S - 1)),
+            ib, 0,
+        )
+
+    def pyg_map(ib, u):
+        return (jnp.where(u <= S, S, 2 * S + 1 - u), ib, 0)
+
+    row_spec = lambda imap: pl.BlockSpec((1, bblk, W), imap, memory_space=pltpu.VMEM)
+    bvec_spec = pl.BlockSpec((bblk, 4), lambda ib, u: (ib, 0), memory_space=pltpu.VMEM)
+    score_spec = pl.BlockSpec((bblk, 1), lambda ib, u: (ib, 0), memory_space=pltpu.VMEM)
+
+    banded = lo_ext is not None
+    inputs = [bvec]
+    in_specs = [bvec_spec]
+    if banded:
+        inputs.append(lo_ext)
+        in_specs.append(
+            pl.BlockSpec((bblk, W), lambda ib, u: (ib, 0), memory_space=pltpu.VMEM)
+        )
+    inputs += [px_rows, py_rows]
+    in_specs += [row_spec(px_map), row_spec(py_map)]
+
+    kernel = functools.partial(
+        _fused_kernel, S=S, modified=modified, banded=banded, K=K
+    )
+    scores_pad, pxg_rows, pyg_rows = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[score_spec, row_spec(pxg_map), row_spec(pyg_map)],
+        out_shape=[
+            _out_struct((B, 1), jnp.float32, px_rows, py_rows, bvec),
+            _out_struct((S, B, T1), dt, px_rows, py_rows, bvec),
+            _out_struct((S + 1, B, T), dt, px_rows, py_rows, bvec),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S + 1, bblk, W), jnp.float32),  # the p lattice
+            pltpu.VMEM((bblk, W), jnp.float32),  # fwd p carry / bwd g carry
+            pltpu.VMEM((bblk, W), jnp.float32),  # bwd p[s+1] carry
+        ],
+        interpret=interpret,
+        compiler_params=_FUSED_VMEM,
+    )(*inputs)
+
+    return scores_pad, pxg_rows, pyg_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_partitioned(K: int, interpret: bool, banded: bool, bblk: int):
+    from .partition import batch_partitioned
+
+    core = functools.partial(_fused_core, K=K, interpret=interpret, bblk=bblk)
+    in_axes = (1, 1, 0) + ((0,) if banded else ())
+    in_ranks = (3, 3, 2) + ((2,) if banded else ())
+    return batch_partitioned(
+        core, in_axes, (0, 1, 1), in_ranks, (2, 3, 3), name="mi_fused"
+    )
+
+
+def fused_rows_pallas(
+    px_rows: jax.Array,
+    py_rows: jax.Array,
+    boundary: jax.Array,
+    lo: Optional[jax.Array] = None,
+    K: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Fused forward + occupancy backward on TPU, s-major, ONE launch.
+
+    Same contract as forward_rows_pallas followed by backward_rows_pallas
+    with ``ans_grad = 1`` — returns ``(scores [B], px_grad_rows,
+    py_grad_rows)`` — but the p lattice lives in VMEM scratch and never
+    round-trips HBM, and px/py stream from HBM once per phase instead of
+    being re-read by a second launch.  Bit-equal to the split pair (same
+    op sequence, f32 carries).
+
+    Returns None when this shape can't run fused (S == 0, vma-checked
+    interpret mode, or a p scratch past the VMEM cap) — callers fall back
+    to the split kernels.
+    """
+    S, B, T1 = px_rows.shape
+    T = py_rows.shape[2]
+    if interpret is None:
+        interpret = _interpret_default()
+    if S == 0 or vma_blocks_interpret(interpret, px_rows, py_rows):
+        return None
+    W = _ceil_to(T + 1, LANE)
+    bblk = min(_ceil_to(B, SUBLANE), 4 * SUBLANE)
+    while bblk > SUBLANE and (S + 1) * bblk * W * 4 > _P_SCRATCH_CAP:
+        bblk //= 2
+    if (S + 1) * bblk * W * 4 > _P_SCRATCH_CAP:
+        return None
+
+    bvec = boundary.astype(jnp.int32)
+    args = [px_rows, py_rows, bvec]
+    if lo is not None:
+        args.append(lo)
+    scores_pad, pxg, pyg = _fused_partitioned(
+        int(K), bool(interpret), lo is not None, int(bblk)
+    )(*args)
+    return scores_pad[:, 0], pxg, pyg
 
 
 # -----------------------------------------------------------------------------

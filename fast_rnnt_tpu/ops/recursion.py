@@ -589,12 +589,37 @@ def _mi_rows_scores(px_rows, py_rows, boundary, lo, K, impl):
 
 
 def _mi_rows_scores_fwd(px_rows, py_rows, boundary, lo, K, impl):
+    # This fwd only runs under differentiation (the primal call is the
+    # scores-only carry-harvest).  On the pallas path, run the fused
+    # two-phase kernel NOW: occupancies with seed 1 are the residual and
+    # the bwd is a pure rescale (the backward recursion is linear in its
+    # seed — the tf_fast_rnnt_op.cc:89-111 trick).  One launch, and the
+    # p lattice never reaches HBM.  The residual STRUCTURE (dict key)
+    # statically tags which bwd to run.
+    if _FUSE_SCORES_VJP and _rows_resolved(impl) == "pallas":
+        from .kernels.wavefront import fused_rows_pallas
+
+        out = fused_rows_pallas(
+            px_rows, py_rows, boundary.astype(jnp.int32), lo=lo, K=K
+        )
+        if out is not None:
+            scores, gx_rows, gy_rows = out
+            return scores, {"occ": (gx_rows, gy_rows, boundary, lo)}
     res, scores = _rows_forward(px_rows, py_rows, boundary, lo, K, impl)
-    return scores, (px_rows, py_rows, boundary, lo, res)
+    return scores, {"p": (px_rows, py_rows, boundary, lo, res)}
 
 
 def _mi_rows_scores_bwd(K, impl, residuals, ans_grad):
-    px_rows, py_rows, boundary, lo, res = residuals
+    if "occ" in residuals:
+        gx_rows, gy_rows, boundary, lo = residuals["occ"]
+        scale = ans_grad[None, :, None].astype(gx_rows.dtype)
+        return (
+            scale * gx_rows,
+            scale * gy_rows,
+            _float0_like(boundary),
+            _f0_or_none(lo),
+        )
+    px_rows, py_rows, boundary, lo, res = residuals["p"]
     gx_rows, gy_rows = _rows_backward(
         px_rows, py_rows, res, boundary, ans_grad, lo, K, impl
     )
@@ -607,7 +632,33 @@ _mi_rows_scores.defvjp(_mi_rows_scores_fwd, _mi_rows_scores_bwd)
 # --- fused scores + occupancy rows op (calc_gradients=True) -------------------
 
 
+# Switches for the fused two-phase kernel (wavefront.fused_rows_pallas) at
+# its two call sites.  DEFAULT OFF — measured round 5 (v5e, paired
+# same-process A/B at the benchmark shape): the fused kernel wins in
+# isolation (315.6 vs 329.4 µs for the split pair) but LOSES ~105 µs
+# fp32 / ~47 µs bf16 inside the full two-stage pipeline.  The scans are
+# VPU-latency-bound with ~60% HBM headroom (BENCH.md roofline), so the
+# ~50 MB of saved p/px/py traffic buys no wall-clock, while computing
+# stage-2 occupancies in the forward region keeps four occupancy
+# residuals alive at once — XLA's memory planner then inserts two 12 MB
+# copy-start/copy-done pairs and peak rises 129 -> 142 MB.  Kept in-tree
+# (tested, GSPMD-wrapped) as the measured variant + escape hatch.
+_FUSE_WITH_GRADS = False  # calc_gradients=True calls (pipeline stage 1)
+_FUSE_SCORES_VJP = False  # vjp of the scores op (pipeline stage 2)
+
+
 def _rows_with_grads_impl(px_rows, py_rows, boundary, lo, K, impl):
+    if _FUSE_WITH_GRADS and _rows_resolved(impl) == "pallas":
+        # fused two-phase kernel: forward + occupancy backward in ONE
+        # launch, p lattice in VMEM scratch (never in HBM) — bit-equal to
+        # the split pair below.  None = shape can't run fused; fall back.
+        from .kernels.wavefront import fused_rows_pallas
+
+        out = fused_rows_pallas(
+            px_rows, py_rows, boundary.astype(jnp.int32), lo=lo, K=K
+        )
+        if out is not None:
+            return out
     res, scores = _rows_forward(px_rows, py_rows, boundary, lo, K, impl)
     ones = jnp.ones_like(scores)
     gx_rows, gy_rows = _rows_backward(

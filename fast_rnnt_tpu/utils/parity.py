@@ -81,15 +81,17 @@ def onchip_parity_gate(
     # --- 1. fused pipeline: default impl vs the XLA scan core ------------
     def fused(impl, lattice_dtype, am_, lm_):
         def loss_fn(a, l):
-            simple, pruned, _ = frt.rnnt_loss_simple_pruned(
+            simple, pruned, ranges = frt.rnnt_loss_simple_pruned(
                 l, a, symbols, 0, s_range, boundary, reduction="none",
                 impl=impl, lattice_dtype=lattice_dtype,
             )
-            return simple, pruned
+            return (simple, pruned), ranges
 
-        (simple, pruned), vjp = jax.vjp(loss_fn, am_, lm_)
+        (simple, pruned), vjp, ranges = jax.vjp(
+            loss_fn, am_, lm_, has_aux=True
+        )
         g_am, g_lm = vjp((jnp.ones_like(simple), jnp.ones_like(pruned)))
-        return simple, pruned, g_am, g_lm
+        return simple, pruned, g_am, g_lm, ranges
 
     # force the FUSED lattice build on the test side (the size-crossover
     # auto dispatch may resolve small shapes to the XLA build, which
@@ -103,18 +105,44 @@ def onchip_parity_gate(
     _prev_build = _lattice._LATTICE_BUILD_IMPL
     _lattice.set_lattice_build_impl("fused")
     try:
-        s_d, p_d, ga_d, gl_d = run(None, None, am, lm)
+        s_d, p_d, ga_d, gl_d, r_d = run(None, None, am, lm)
     finally:
         _lattice.set_lattice_build_impl(_prev_build)
     _lattice.set_lattice_build_impl("xla")
     try:
-        s_x, p_x, ga_x, gl_x = run("xla", None, am, lm)
+        s_x, p_x, ga_x, gl_x, r_x = run("xla", None, am, lm)
     finally:
         _lattice.set_lattice_build_impl(_prev_build)
-    out["fused_vs_xla_loss_rel_err"] = max(_rel_err(s_d, s_x), _rel_err(p_d, p_x))
-    out["fused_vs_xla_grad_rel_err"] = max(
-        _scaled_err(ga_d, ga_x), _scaled_err(gl_d, gl_x)
+
+    # Tie-robust comparison (round-5 finding, caught by the salted seeds):
+    # the two sides' stage-1 occupancies differ at the cross-impl f32
+    # class (~1e-4), so the window argmax may legitimately flip where two
+    # windows' scores near-tie (measured: every flip's raw score gap
+    # <= 3.3e-4), and the monotone repair then CASCADES one flip into a
+    # run of different-but-equally-valid bands — whole-pipeline gradients
+    # on such utterances genuinely differ.  Compare losses and gradients
+    # only on utterances whose final ranges agree exactly, and gate on
+    # the agreement fraction staying high (a kernel bug would crater it;
+    # tie-aware RAW-argmax certification lives in benchmarks/fuzz_onchip).
+    agree = np.asarray(
+        (jnp.asarray(r_d) == jnp.asarray(r_x)).reshape(r_d.shape[0], -1).all(
+            axis=1
+        )
     )
+    out["range_agree_frac"] = float(agree.mean())
+    if agree.any():
+        m = agree
+        out["fused_vs_xla_loss_rel_err"] = max(
+            _rel_err(np.asarray(s_d)[m], np.asarray(s_x)[m]),
+            _rel_err(np.asarray(p_d)[m], np.asarray(p_x)[m]),
+        )
+        out["fused_vs_xla_grad_rel_err"] = max(
+            _scaled_err(np.asarray(ga_d)[m], np.asarray(ga_x)[m]),
+            _scaled_err(np.asarray(gl_d)[m], np.asarray(gl_x)[m]),
+        )
+    else:  # 0% agreement is itself a failure (range_agree_frac gate)
+        out["fused_vs_xla_loss_rel_err"] = float("inf")
+        out["fused_vs_xla_grad_rel_err"] = float("inf")
 
     # --- 2. occupancy round-trip at the bench shape -----------------------
     @jax.jit
@@ -177,7 +205,7 @@ def onchip_parity_gate(
     # class this arm exists to catch)
     _lattice.set_lattice_build_impl("fused")
     try:
-        s_b, p_b, _, _ = run(None, jnp.bfloat16, am, lm)
+        s_b, p_b, _, _, _ = run(None, jnp.bfloat16, am, lm)
     finally:
         _lattice.set_lattice_build_impl(_prev_build)
     out["bf16_loss_rel_err"] = max(_rel_err(s_b, s_d), _rel_err(p_b, p_d))
@@ -215,6 +243,19 @@ TOLERANCES = {
     "bf16_occupancy_rel_err": 2e-2,
 }
 
+# metrics that must stay ABOVE their threshold (see the tie-robust
+# comparison in onchip_parity_gate: near-tie argmax flips between the two
+# sides are legitimate in small numbers; a kernel bug craters agreement)
+MINIMUMS = {
+    # measured r5 (salted seed): 21/30 utterances agree; each utterance
+    # makes ~1000 argmax decisions against ~1e-4 cross-impl noise, so a
+    # fair fraction catching >= 1 near-tie is expected (binomial sd at
+    # B=30 is ~0.08 around ~0.7) — 0.5 stays > 2 sd clear of the healthy
+    # band while any real kernel bug (wrong occupancies) craters this to
+    # ~0 AND blows the grad tolerance on agreeing rows
+    "range_agree_frac": 0.5,
+}
+
 
 def enforce_parity(parity: Dict[str, float]) -> None:
     """Raise FloatingPointError if any gate metric exceeds its tolerance
@@ -224,9 +265,17 @@ def enforce_parity(parity: Dict[str, float]) -> None:
         for k, tol in TOLERANCES.items()
         if k in parity and not (float(v := parity[k]) <= tol)
     }
+    bad.update(
+        {
+            k: v
+            for k, tol in MINIMUMS.items()
+            if k in parity and not (float(v := parity[k]) >= tol)
+        }
+    )
     if bad:
+        lims = {k: TOLERANCES.get(k, MINIMUMS.get(k)) for k in bad}
         raise FloatingPointError(
-            f"on-chip parity gate FAILED: {bad} (tolerances: "
-            f"{ {k: TOLERANCES[k] for k in bad} }) — compiled kernels are "
-            "producing wrong numbers; benchmark results are not certified"
+            f"on-chip parity gate FAILED: {bad} (limits: {lims}) — "
+            "compiled kernels are producing wrong numbers; benchmark "
+            "results are not certified"
         )

@@ -512,3 +512,53 @@ def test_register_interpret_none_preserves_flag():
         # direct restore: register(interpret=None) means "leave untouched",
         # so it cannot round-trip a saved None
         wavefront._INTERPRET = prev
+
+
+def test_save_d_residual_parity_and_dispatch(monkeypatch):
+    """f32 mode persists the normalizer D as a VJP residual (latbuild
+    _SAVE_D); gradients must match the recompute path to the split-matmul
+    approximation class (~2^-16: the residual is the forward's EXACT D,
+    the recompute is the 2-part split), and bf16 mode must NOT take the
+    residual path (single-pass recompute is cheaper than the traffic)."""
+    from fast_rnnt_tpu.ops.kernels import latbuild as lb
+
+    rng = np.random.default_rng(9)
+    B, T, S, C = 3, 60, 5, 20
+    lm, am, symbols, boundary = _inputs(rng, B, T, S, C)
+    cpx_shape = (S, B, T + 1)
+    cpy_shape = (S + 1, B, T)
+    cpx = jnp.asarray(rng.normal(size=cpx_shape).astype(np.float32))
+    cpy = jnp.asarray(rng.normal(size=cpy_shape).astype(np.float32))
+
+    def grads(flag, a):
+        monkeypatch.setattr(lb, "_SAVE_D", flag)
+        def f(lm_, am_):
+            px, py = lattice_rows_fused(
+                lm_, am_, symbols, 0, "regular", boundary, interpret=True
+            )
+            return jnp.sum(px * cpx) + jnp.sum(py * cpy)
+        return jax.grad(f, argnums=(0, 1))(lm, a)
+
+    g_on = grads(True, am)
+    g_off = grads(False, am)
+    np.testing.assert_allclose(g_on[0], g_off[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_on[1], g_off[1], rtol=1e-4, atol=1e-5)
+
+    # dispatch seam: f32 saves D, bf16 does not
+    seen = {}
+    real = lb._build_fwd_partitioned
+
+    def spy(*args):
+        seen[args[-1]] = True  # save_d is the last cache key
+        return real(*args)
+
+    monkeypatch.setattr(lb, "_SAVE_D", True)
+    monkeypatch.setattr(lb, "_build_fwd_partitioned", spy)
+    lattice_rows_fused(lm, am, symbols, 0, "regular", boundary,
+                       interpret=True)
+    assert seen.pop(True, False), "f32 build did not persist D"
+    lattice_rows_fused(
+        lm.astype(jnp.bfloat16), am.astype(jnp.bfloat16), symbols, 0,
+        "regular", boundary, interpret=True,
+    )
+    assert seen.pop(False, False) and not seen, "bf16 build must recompute D"

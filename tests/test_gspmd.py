@@ -132,8 +132,99 @@ def test_pruned_pipeline_batch_sharded(pallas_env, shard_log, world):
     for name, b in shard_log:
         by_kernel.setdefault(name, set()).add(b)
     # every kernel family in the pipeline partitioned to B/8 = 2
+    # (the fused two-phase kernel "mi_fused" is off by default — measured
+    # slower in-context, recursion.py:_FUSE_WITH_GRADS — and covered by
+    # test_fused_recursion_kernel_batch_sharded below)
     for kernel in ("latbuild_fwd", "latbuild_bwd", "mi_fwd", "mi_bwd",
                    "prune_ranges"):
+        assert by_kernel.get(kernel) == {B // 8}, (
+            f"{kernel} did not partition: saw {by_kernel.get(kernel)} "
+            f"(full log: {sorted(by_kernel)})"
+        )
+
+
+@pytest.mark.parametrize("world", ["explicit", "auto"])
+def test_fused_recursion_kernel_batch_sharded(pallas_env, shard_log, world):
+    """The fused two-phase kernel (mi_fused) partitions per-shard — it is
+    off by default in the pipelines (measured slower in-context) but
+    remains a supported, GSPMD-composable entry."""
+    B, T, S = 16, 50, 6
+    rng = np.random.default_rng(11)
+    px = jnp.asarray(rng.normal(size=(S, B, T + 1)).astype(np.float32))
+    py = jnp.asarray(rng.normal(size=(S + 1, B, T)).astype(np.float32))
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B), np.zeros(B), np.full(B, S), np.full(B, T)],
+                 axis=1).astype(np.int32)
+    )
+    from fast_rnnt_tpu.ops.kernels.wavefront import fused_rows_pallas
+
+    def fused(px_, py_, bnd_):
+        return fused_rows_pallas(px_, py_, bnd_)
+
+    want = jax.jit(fused)(px, py, boundary)
+    mesh = _explicit_mesh() if world == "explicit" else _auto_mesh()
+    args = (
+        jax.device_put(px, NamedSharding(mesh, P(None, "dp", None))),
+        jax.device_put(py, NamedSharding(mesh, P(None, "dp", None))),
+        jax.device_put(boundary, NamedSharding(mesh, P("dp", None))),
+    )
+    shard_log.clear()
+    got = jax.jit(fused)(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-5
+        )
+    by_kernel = {}
+    for name, b in shard_log:
+        by_kernel.setdefault(name, set()).add(b)
+    assert by_kernel.get("mi_fused") == {B // 8}, (
+        f"mi_fused did not partition: saw {by_kernel.get('mi_fused')} "
+        f"(full log: {sorted(by_kernel)})"
+    )
+
+
+@pytest.mark.parametrize("world", ["explicit", "auto"])
+def test_split_recursion_kernels_batch_sharded(pallas_env, shard_log, world):
+    """The split mi_fwd/mi_bwd pair (the scores-only eval path and the
+    fused kernel's fallback shapes) still partitions per-shard."""
+    B, T, S = 16, 50, 6
+    rng = np.random.default_rng(7)
+    px = jnp.asarray(rng.normal(size=(S, B, T + 1)).astype(np.float32))
+    py = jnp.asarray(rng.normal(size=(S + 1, B, T)).astype(np.float32))
+    boundary = jnp.asarray(
+        np.stack([np.zeros(B), np.zeros(B), np.full(B, S), np.full(B, T)],
+                 axis=1).astype(np.int32)
+    )
+
+    from fast_rnnt_tpu.ops.kernels.wavefront import (
+        backward_rows_pallas,
+        forward_rows_pallas,
+    )
+
+    def pair(px_, py_, bnd_):
+        p, sc = forward_rows_pallas(px_, py_, bnd_)
+        gx, gy = backward_rows_pallas(
+            px_, py_, p, bnd_, jnp.ones_like(sc)
+        )
+        return sc, gx, gy
+
+    want = jax.jit(pair)(px, py, boundary)
+    mesh = _explicit_mesh() if world == "explicit" else _auto_mesh()
+    args = (
+        jax.device_put(px, NamedSharding(mesh, P(None, "dp", None))),
+        jax.device_put(py, NamedSharding(mesh, P(None, "dp", None))),
+        jax.device_put(boundary, NamedSharding(mesh, P("dp", None))),
+    )
+    shard_log.clear()
+    got = jax.jit(pair)(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-5
+        )
+    by_kernel = {}
+    for name, b in shard_log:
+        by_kernel.setdefault(name, set()).add(b)
+    for kernel in ("mi_fwd", "mi_bwd"):
         assert by_kernel.get(kernel) == {B // 8}, (
             f"{kernel} did not partition: saw {by_kernel.get(kernel)} "
             f"(full log: {sorted(by_kernel)})"
